@@ -1,0 +1,109 @@
+"""Public API, mirroring the GATK native-binding surface.
+
+Equivalents of the reference Java layer:
+
+* :class:`SmithWatermanAligner` — MicrosoftSmithWaterman.align
+  (MicrosoftSmithWaterman.java:66-86): (ref, alt, params, strategy) ->
+  (cigar, offset), plus the batched entry point the reference lacks.
+* :class:`PairHmmEngine` — MicrosoftPairHmm.{initialize,computeLikelihoods}
+  (MicrosoftPairHmm.java:44-120): reads x haps -> log10 likelihood matrix
+  with the float->double rescue cascade.
+
+Inputs are validated here (the kernels assume non-empty sequences, as does
+GATK's wrapper which pre-checks substrings).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from mgl_tpu.batch.bucketing import bucket_pairs
+from mgl_tpu.core.params import OverhangStrategy, SWParameters
+from mgl_tpu.ops import sw as sw_ops
+
+__all__ = [
+    "SWResult",
+    "SmithWatermanAligner",
+    "PairHmmEngine",
+    "OverhangStrategy",
+    "SWParameters",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class SWResult:
+    cigar: str
+    offset: int
+
+
+def _as_u8(seq) -> np.ndarray:
+    if isinstance(seq, np.ndarray):
+        a = seq.astype(np.uint8)
+    else:
+        a = np.frombuffer(bytes(seq), dtype=np.uint8)
+    if a.size == 0:
+        raise ValueError("empty sequence")
+    return a
+
+
+class SmithWatermanAligner:
+    """Batched affine-gap SW aligner with exact reference CIGAR parity."""
+
+    def __init__(self, max_batch: int = 2048):
+        self.max_batch = max_batch
+
+    def align(self, ref, alt, params: SWParameters,
+              strategy: OverhangStrategy) -> SWResult:
+        """Single-pair alignment (MicrosoftSmithWaterman.java:66-86 shape)."""
+        return self.align_batch([ref], [alt], params, strategy)[0]
+
+    def align_batch(self, refs, alts, params: SWParameters,
+                    strategy: OverhangStrategy) -> list[SWResult]:
+        refs = [_as_u8(r) for r in refs]
+        alts = [_as_u8(a) for a in alts]
+        if len(refs) != len(alts):
+            raise ValueError("refs and alts must have equal length")
+        results: list[SWResult | None] = [None] * len(refs)
+        buckets = bucket_pairs([len(r) for r in refs], [len(a) for a in alts],
+                               max_batch=self.max_batch)
+        for (_pt, _pq), idxs in buckets:
+            got = sw_ops.align_batch(
+                [refs[i].tobytes() for i in idxs],
+                [alts[i].tobytes() for i in idxs],
+                params, strategy,
+            )
+            for i, (cig, off) in zip(idxs, got):
+                results[i] = SWResult(cig, off)
+        return results  # type: ignore[return-value]
+
+
+class PairHmmEngine:
+    """PairHMM likelihood engine with the reference's precision cascade."""
+
+    def __init__(self, use_double: bool = False):
+        self.use_double = use_double
+
+    def compute_likelihoods(self, reads: list[dict], haps: list) -> np.ndarray:
+        """reads: dicts with keys bases/q/i/d/c (uint8 arrays or bytes);
+        haps: list of uint8 arrays or bytes.  Returns (R, H) float64 log10
+        likelihood matrix (MicrosoftPairHmm.java:104-111 layout)."""
+        from mgl_tpu.ops.pairhmm import compute_likelihoods
+
+        norm_reads = []
+        for rd in reads:
+            bases = _as_u8(rd["bases"])
+            n = len(bases)
+            r = {"bases": bases}
+            for k in ("q", "i", "d", "c"):
+                a = np.asarray(rd[k], dtype=np.uint8)
+                if a.shape != (n,):
+                    raise ValueError(f"quality track '{k}' length {a.shape} != read length {n}")
+                r[k] = a
+            norm_reads.append(r)
+        norm_haps = [_as_u8(h) for h in haps]
+        return compute_likelihoods(norm_reads, norm_haps, self.use_double)
+
+    def done(self) -> None:  # parity with PairHMMNativeBinding.done()
+        pass

@@ -1,0 +1,256 @@
+"""Batched PairHMM forward pass (JAX) with precision cascade.
+
+TPU-first redesign of the reference PairHMM kernels
+(``/root/reference/src/main/native/mgl_pairhmm/compute_prob_scalar.cc``
+recurrence; ``compute_prob_avxf.cc`` production float kernel;
+``com_microsoft_mgl_pairhmm_MicrosoftPairHmm.cc:131-215`` tier driver).
+
+Design:
+
+* **Inter-pair vectorization** across the 8x128 VPU: each (read, haplotype)
+  pair occupies one lane-column of the wavefront state; the reference
+  instead packs 8 rows of ONE pair into AVX lanes.
+* **Anti-diagonal sweep** with two carried diagonals, recurrence pinned to
+  the reference's op shape (compute_prob_scalar.cc:39-43):
+      M = distm * (M_d2 * pMM + (X_d2 + Y_d2) * pGapM)
+      X = M_d1[r-1] * pMX + X_d1[r-1] * pZZ
+      Y = M_d1[r]   * pMY + Y_d1[r]   * pZZ
+* **Transition/emission rows precomputed on host** (core/context.py) from
+  the canonical bit-exact tables, so device work is pure FMA-shaped f32.
+* **Precision cascade**: f32 on device; pairs whose scaled score falls
+  below MIN_ACCEPTED (1e-28) are recomputed in float64 on host
+  (pairhmm_common.h:31 tiering) — the f64 tail is off the hot path exactly
+  as in the reference.
+
+Scaling follows Context<float>: yInitial = 2^120 / haplen, final
+likelihood = log10(score) - log10(2^120).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgl_tpu.core.context import (
+    CTX_F32,
+    CTX_F64,
+    MIN_ACCEPTED,
+    read_transition_rows,
+)
+
+AMBIG = ord("N")
+
+
+class PairHMMBatch(NamedTuple):
+    """Device-ready padded batch of (read, hap) pairs.
+
+    All arrays have leading dim B (pairs).  R = padded read rows + 1,
+    H = padded hap length.
+    """
+
+    hap: np.ndarray        # (B, H) int32 ASCII
+    haplen: np.ndarray     # (B,) int32
+    rchar: np.ndarray      # (B, R) int32 ASCII, rchar[:, r] = read base r-1
+    rslen: np.ndarray      # (B,) int32
+    p_mm: np.ndarray       # (B, R) f32
+    p_gapm: np.ndarray
+    p_mx: np.ndarray
+    p_my: np.ndarray
+    p_zz: np.ndarray
+    distm_match: np.ndarray  # (B, R) f32: 1 - ph2pr[q]
+    distm_mis: np.ndarray    # (B, R) f32: ph2pr[q] / 3
+    y_init: np.ndarray       # (B,) f32: 2^120 / haplen
+
+
+def pack_pairs(
+    reads: list[dict],
+    haps: list[np.ndarray],
+    pair_index: list[tuple[int, int]] | None = None,
+) -> PairHMMBatch:
+    """Pack (read, hap) pairs into padded arrays.
+
+    ``reads``: dicts with uint8 arrays bases/q/i/d/c (the packed-buffer
+    layout of MicrosoftPairHmm.java:90-97, one dict per read).
+    ``pair_index``: list of (read_idx, hap_idx); defaults to the full
+    reads x haps product in row-major order (JNI driver semantics).
+    """
+    if pair_index is None:
+        pair_index = [(ri, hi) for ri in range(len(reads)) for hi in range(len(haps))]
+    B = len(pair_index)
+    rmax = max(len(reads[ri]["bases"]) for ri, _ in pair_index)
+    hmax = max(len(haps[hi]) for _, hi in pair_index)
+    R = rmax + 1
+
+    # per-read transition rows (computed once per read, broadcast to pairs)
+    trans = {}
+    for ri in {ri for ri, _ in pair_index}:
+        rd = reads[ri]
+        t = read_transition_rows(rd["q"], rd["i"], rd["d"], rd["c"], CTX_F32)
+        distm = t[5]
+        one = np.float32(1.0)
+        third = np.float32(1.0) / np.float32(3.0)
+        trans[ri] = t[:5] + ((one - distm).astype(np.float32),
+                             (distm * third).astype(np.float32))
+
+    out = PairHMMBatch(
+        hap=np.zeros((B, hmax), np.int32),
+        haplen=np.zeros(B, np.int32),
+        rchar=np.zeros((B, R), np.int32),
+        rslen=np.zeros(B, np.int32),
+        p_mm=np.zeros((B, R), np.float32),
+        p_gapm=np.zeros((B, R), np.float32),
+        p_mx=np.zeros((B, R), np.float32),
+        p_my=np.zeros((B, R), np.float32),
+        p_zz=np.zeros((B, R), np.float32),
+        distm_match=np.zeros((B, R), np.float32),
+        distm_mis=np.zeros((B, R), np.float32),
+        y_init=np.zeros(B, np.float32),
+    )
+    for b, (ri, hi) in enumerate(pair_index):
+        rd, hp = reads[ri], haps[hi]
+        n, h = len(rd["bases"]), len(hp)
+        out.hap[b, :h] = hp
+        out.haplen[b] = h
+        out.rchar[b, 1: n + 1] = rd["bases"]
+        out.rslen[b] = n
+        p_mm, p_gapm, p_mx, p_my, p_zz, dm, dmm = trans[ri]
+        out.p_mm[b, : n + 1] = p_mm
+        out.p_gapm[b, : n + 1] = p_gapm
+        out.p_mx[b, : n + 1] = p_mx
+        out.p_my[b, : n + 1] = p_my
+        out.p_zz[b, : n + 1] = p_zz
+        out.distm_match[b, : n + 1] = dm
+        out.distm_mis[b, : n + 1] = dmm
+        out.y_init[b] = np.float32(CTX_F32.initial_constant) / np.float32(h)
+    return out
+
+
+def _shift_down(x: jax.Array, fill) -> jax.Array:
+    fill_col = jnp.full(x.shape[:-1] + (1,), fill, dtype=x.dtype)
+    return jnp.concatenate([fill_col, x[..., :-1]], axis=-1)
+
+
+@jax.jit
+def pairhmm_forward_f32(
+    hap: jax.Array, haplen: jax.Array,
+    rchar: jax.Array, rslen: jax.Array,
+    p_mm: jax.Array, p_gapm: jax.Array, p_mx: jax.Array,
+    p_my: jax.Array, p_zz: jax.Array,
+    distm_match: jax.Array, distm_mis: jax.Array,
+    y_init: jax.Array,
+) -> jax.Array:
+    """Batched forward probability, f32, INITIAL_CONSTANT-scaled.
+
+    Returns (B,) scores = sum over the last read row of (M + X) across all
+    hap columns (compute_prob_scalar.cc:211,313).
+    """
+    B, R = rchar.shape
+    H = hap.shape[1]
+    D = R + H            # diagonals 0 .. R-1+H
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (B, R), 1)
+    hpad = jnp.pad(hap, ((0, 0), (0, R + 1)))
+    y_init_col = y_init[:, None]
+    rl = rslen.astype(jnp.int32)[:, None]
+    hl = haplen.astype(jnp.int32)[:, None]
+
+    zero = jnp.zeros((B, R), jnp.float32)
+    # diag 0: element 0 = cell (0,0): M=X=0, Y=yInit
+    m_prev2, x_prev2 = zero, zero
+    y_prev2 = zero.at[:, 0].set(y_init)
+    # diag 1: element 0 = (0,1): Y=yInit; element 1 = (1,0): zeros
+    m_prev, x_prev = zero, zero
+    y_prev = zero.at[:, 0].set(y_init)
+    hapdiag = jnp.zeros((B, R), jnp.int32).at[:, 0].set(hpad[:, 0])
+
+    def step(carry, d):
+        m_prev, x_prev, y_prev, m_prev2, x_prev2, y_prev2, hapdiag, acc = carry
+
+        hch = jax.lax.dynamic_slice_in_dim(hpad, d - 1, 1, axis=1)
+        hapdiag = _shift_down(hapdiag, 0).at[:, 0].set(hch[:, 0])
+
+        is_match = (rchar == hapdiag) | (rchar == AMBIG) | (hapdiag == AMBIG)
+        distm = jnp.where(is_match, distm_match, distm_mis)
+
+        m_d2 = _shift_down(m_prev2, 0.0)
+        x_d2 = _shift_down(x_prev2, 0.0)
+        y_d2 = _shift_down(y_prev2, 0.0)
+        m_cur = distm * (m_d2 * p_mm + (x_d2 + y_d2) * p_gapm)
+
+        y_cur = m_prev * p_my + y_prev * p_zz
+
+        m_d1 = _shift_down(m_prev, 0.0)
+        x_d1 = _shift_down(x_prev, 0.0)
+        x_cur = m_d1 * p_mx + x_d1 * p_zz
+
+        # boundaries: element 0 = row 0 (M=X=0, Y=yInit); element d = col 0 (zeros)
+        row0 = r_iota == 0
+        col0 = r_iota == d
+        m_cur = jnp.where(row0 | col0, 0.0, m_cur)
+        x_cur = jnp.where(row0 | col0, 0.0, x_cur)
+        y_cur = jnp.where(col0, 0.0, jnp.where(row0, y_init_col, y_cur))
+
+        # last-row contribution: cell (rslen, c=d-rslen), valid 1 <= c <= haplen
+        mv = jnp.take_along_axis(m_cur, rl, axis=1)[:, 0]
+        xv = jnp.take_along_axis(x_cur, rl, axis=1)[:, 0]
+        c = d - rl[:, 0]
+        valid = (c >= 1) & (c <= hl[:, 0])
+        acc = acc + jnp.where(valid, mv + xv, 0.0)
+
+        return (m_cur, x_cur, y_cur, m_prev, x_prev, y_prev, hapdiag, acc), None
+
+    acc0 = jnp.zeros((B,), jnp.float32)
+    carry0 = (m_prev, x_prev, y_prev, m_prev2, x_prev2, y_prev2, hapdiag, acc0)
+    ds = jnp.arange(2, D, dtype=jnp.int32)
+    final, _ = jax.lax.scan(step, carry0, ds)
+    return final[-1]
+
+
+def compute_likelihoods(
+    reads: list[dict],
+    haps: list[np.ndarray],
+    use_double: bool = False,
+) -> np.ndarray:
+    """Full cascade: device f32 pass, host f64 rescue below 1e-28.
+
+    Returns (num_reads, num_haps) float64 log10 likelihoods, matching
+    MicrosoftPairHmm.computeLikelihoods output layout.
+    """
+    from mgl_tpu.ref_impl.pairhmm_scalar import compute_score
+
+    n_r, n_h = len(reads), len(haps)
+    out = np.zeros((n_r, n_h), dtype=np.float64)
+
+    pair_index = [(ri, hi) for ri in range(n_r) for hi in range(n_h)]
+    if not use_double:
+        batch = pack_pairs(reads, haps, pair_index)
+        scores = np.asarray(
+            pairhmm_forward_f32(
+                jnp.asarray(batch.hap), jnp.asarray(batch.haplen),
+                jnp.asarray(batch.rchar), jnp.asarray(batch.rslen),
+                jnp.asarray(batch.p_mm), jnp.asarray(batch.p_gapm),
+                jnp.asarray(batch.p_mx), jnp.asarray(batch.p_my),
+                jnp.asarray(batch.p_zz),
+                jnp.asarray(batch.distm_match), jnp.asarray(batch.distm_mis),
+                jnp.asarray(batch.y_init),
+            )
+        )
+    else:
+        scores = np.full(len(pair_index), -1.0, dtype=np.float64)  # force rescue
+
+    lic32 = float(CTX_F32.log10_initial_constant)
+    lic64 = float(CTX_F64.log10_initial_constant)
+    for b, (ri, hi) in enumerate(pair_index):
+        s = float(scores[b])
+        if s >= float(MIN_ACCEPTED):
+            out[ri, hi] = np.log10(s) - lic32
+        else:
+            rd = reads[ri]
+            s64 = compute_score(haps[hi], rd["bases"], rd["q"], rd["i"],
+                                rd["d"], rd["c"], ctx=CTX_F64)
+            out[ri, hi] = np.log10(s64) - lic64
+    return out

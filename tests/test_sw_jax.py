@@ -1,0 +1,54 @@
+"""Batched JAX SW op vs golden vectors (exact CIGAR/offset parity)."""
+
+import numpy as np
+import pytest
+
+from mgl_tpu.api import SmithWatermanAligner
+from mgl_tpu.core.params import OverhangStrategy, SWParameters
+
+
+def _run_cases(rows):
+    aligner = SmithWatermanAligner()
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in rows:
+        groups[(r["match"], r["mismatch"], r["open"], r["ext"], r["strategy"])].append(r)
+    for (m, x, o, e, s), rs in groups.items():
+        p = SWParameters.normalized(m, x, o, e)
+        res = aligner.align_batch(
+            [r["target"].encode() for r in rs],
+            [r["query"].encode() for r in rs],
+            p, OverhangStrategy(s),
+        )
+        for r, got in zip(rs, res):
+            assert got.cigar == r["cigar_scalar"], (r["target"], r["query"], s)
+            assert got.offset == r["offset_scalar"]
+
+
+def test_sw_small_cases_all_strategies(sw_golden):
+    # all four strategies on short pairs — single bucket shape, fast compile
+    rows = [r for r in sw_golden
+            if len(r["target"]) <= 60 and len(r["query"]) <= 60]
+    assert len(rows) >= 40
+    _run_cases(rows)
+
+
+def test_sw_medium_cases(sw_golden):
+    rows = [r for r in sw_golden
+            if 60 < max(len(r["target"]), len(r["query"])) <= 120][:48]
+    assert rows
+    _run_cases(rows)
+
+
+@pytest.mark.slow
+def test_sw_full_golden_sweep(sw_golden):
+    _run_cases(sw_golden)
+
+
+def test_api_validation():
+    a = SmithWatermanAligner()
+    p = SWParameters(25, -50, 110, 6)
+    with pytest.raises(ValueError):
+        a.align(b"", b"ACGT", p, OverhangStrategy.SOFTCLIP)
+    with pytest.raises(ValueError):
+        a.align_batch([b"ACGT"], [], p, OverhangStrategy.SOFTCLIP)
