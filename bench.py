@@ -1,0 +1,123 @@
+"""Benchmark harness: one JSON line for the driver.
+
+Headline metric: banded Smith-Waterman GCUPS per chip (batched 150 bp
+pairs, full traceback emission — BASELINE.json config 2/3 shape), measured
+on the default JAX backend.  vs_baseline = ours / (reference AVX2 kernel on
+one CPU core of this host, tests/golden/cpu_baseline.json).
+
+Timing method: enqueue N async kernel launches back-to-back, then force
+completion with a single small device->host read.  This keeps the host
+dispatch / tunnel round-trip out of the measured region (the axon tunnel
+adds ~30 ms per synchronous call, which is not kernel cost).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parent
+
+
+def _sync(x):
+    np.asarray(x[:1, :8] if x.ndim >= 2 else x[:1])
+
+
+def bench_sw(B=32768, T=150, Q=150, with_traceback=True, iters=8):
+    import jax.numpy as jnp
+
+    from mgl_tpu.kernels.sw_pallas import prepare_inputs, sw_pallas_forward
+
+    rng = np.random.default_rng(0)
+    tbuf = rng.integers(65, 85, size=(B, T)).astype(np.int32)
+    qbuf = tbuf.copy()
+    mut = rng.random((B, Q)) < 0.05
+    qbuf[mut] = rng.integers(65, 85, size=int(mut.sum()))
+    tlen = np.full(B, T, np.int32)
+    qlen = np.full(B, Q, np.int32)
+    tchar, qp, tl, ql = prepare_inputs(tbuf, tlen, qbuf, qlen)
+    args = (jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
+            jnp.asarray(ql), 25, -50, 110, 6)
+
+    run = lambda: sw_pallas_forward(*args, indel_init=False,
+                                    with_traceback=with_traceback)
+    _sync(run()[0])  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        outs = [run() for _ in range(iters)]
+        for o in outs:
+            _sync(o[0])
+        best = min(best, (time.time() - t0) / iters)
+    return B * T * Q / best / 1e9, best
+
+
+def bench_pairhmm(B=16384, rdlen=150, haplen=400, iters=4):
+    import jax.numpy as jnp
+
+    from mgl_tpu.kernels.pairhmm_pallas import (pairhmm_pallas_forward,
+                                                prepare_inputs)
+    from mgl_tpu.ops.pairhmm import pack_pairs
+
+    rng = np.random.default_rng(1)
+    bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(B, rdlen))
+    quals = rng.integers(20, 50, size=(B, rdlen)).astype(np.uint8)
+    gcp = np.full((B, rdlen), 10, np.uint8)
+    reads = [dict(bases=bases[b], q=quals[b], i=quals[b], d=quals[b],
+                  c=gcp[b]) for b in range(B)]
+    haps = [rng.choice(np.frombuffer(b"ACGT", np.uint8), size=haplen)
+            for _ in range(min(B, 64))]
+    batch = pack_pairs(reads, haps, [(b, b % len(haps)) for b in range(B)])
+    a = prepare_inputs(batch)
+    args = tuple(jnp.asarray(a[k]) for k in
+                 ("hpad", "rchar", "rslen", "haplen", "p_mm", "p_gapm",
+                  "p_mx", "p_my", "p_zz", "dm", "dmm", "y_init"))
+
+    run = lambda: pairhmm_pallas_forward(*args)
+    _sync(run())
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        outs = [run() for _ in range(iters)]
+        for o in outs:
+            _sync(o)
+        best = min(best, (time.time() - t0) / iters)
+    return B * rdlen * haplen / best / 1e9, best
+
+
+def main():
+    import jax
+
+    baseline = json.loads(
+        (ROOT / "tests/golden/cpu_baseline.json").read_text())
+
+    sw_gcups, sw_t = bench_sw(with_traceback=True)
+    sw_score_gcups, _ = bench_sw(with_traceback=False)
+    ph_gcups, ph_t = bench_pairhmm()
+
+    vs = sw_gcups / baseline["sw_avx_gcups_150"]
+    out = {
+        "metric": "sw_gcups_per_chip",
+        "value": round(sw_gcups, 2),
+        "unit": "GCUPS",
+        "vs_baseline": round(vs, 1),
+        "extra": {
+            "backend": jax.default_backend(),
+            "sw_traceback_gcups": round(sw_gcups, 2),
+            "sw_score_only_gcups": round(sw_score_gcups, 2),
+            "pairhmm_f32_gcups": round(ph_gcups, 2),
+            "pairhmm_vs_baseline": round(
+                ph_gcups / baseline["pairhmm_avxf_gcups_150x400"], 1),
+            "baseline_cpu_sw_gcups": baseline["sw_avx_gcups_150"],
+            "baseline_cpu_pairhmm_gcups":
+                baseline["pairhmm_avxf_gcups_150x400"],
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,11 +48,28 @@ def _as_u8(seq) -> np.ndarray:
     return a
 
 
-class SmithWatermanAligner:
-    """Batched affine-gap SW aligner with exact reference CIGAR parity."""
+def _default_impl() -> str:
+    import os
 
-    def __init__(self, max_batch: int = 2048):
+    env = os.environ.get("MGL_TPU_IMPL")
+    if env in ("xla", "lax"):
+        return "xla"
+    if env == "pallas":
+        return "pallas"
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+class SmithWatermanAligner:
+    """Batched affine-gap SW aligner with exact reference CIGAR parity.
+
+    ``impl``: 'pallas' (TPU kernel), 'xla' (lax.scan fallback), or 'auto'.
+    """
+
+    def __init__(self, max_batch: int = 2048, impl: str = "auto"):
         self.max_batch = max_batch
+        self.impl = impl
 
     def align(self, ref, alt, params: SWParameters,
               strategy: OverhangStrategy) -> SWResult:
@@ -65,11 +82,16 @@ class SmithWatermanAligner:
         alts = [_as_u8(a) for a in alts]
         if len(refs) != len(alts):
             raise ValueError("refs and alts must have equal length")
+        impl = self.impl if self.impl != "auto" else _default_impl()
+        if impl == "pallas":
+            from mgl_tpu.kernels.sw_pallas import align_batch as backend
+        else:
+            backend = sw_ops.align_batch
         results: list[SWResult | None] = [None] * len(refs)
         buckets = bucket_pairs([len(r) for r in refs], [len(a) for a in alts],
                                max_batch=self.max_batch)
         for (_pt, _pq), idxs in buckets:
-            got = sw_ops.align_batch(
+            got = backend(
                 [refs[i].tobytes() for i in idxs],
                 [alts[i].tobytes() for i in idxs],
                 params, strategy,
@@ -80,10 +102,17 @@ class SmithWatermanAligner:
 
 
 class PairHmmEngine:
-    """PairHMM likelihood engine with the reference's precision cascade."""
+    """PairHMM likelihood engine with the reference's precision cascade.
 
-    def __init__(self, use_double: bool = False):
+    ``fast_path`` enables the seed-extend tier-0 estimator (the reference
+    ships it dormant; different numbers for well-matching pairs).
+    """
+
+    def __init__(self, use_double: bool = False, fast_path: bool = False,
+                 impl: str = "auto"):
         self.use_double = use_double
+        self.fast_path = fast_path
+        self.impl = impl
 
     def compute_likelihoods(self, reads: list[dict], haps: list) -> np.ndarray:
         """reads: dicts with keys bases/q/i/d/c (uint8 arrays or bytes);
@@ -103,7 +132,9 @@ class PairHmmEngine:
                 r[k] = a
             norm_reads.append(r)
         norm_haps = [_as_u8(h) for h in haps]
-        return compute_likelihoods(norm_reads, norm_haps, self.use_double)
+        return compute_likelihoods(norm_reads, norm_haps, self.use_double,
+                                   use_fast_path=self.fast_path,
+                                   impl=self.impl)
 
     def done(self) -> None:  # parity with PairHMMNativeBinding.done()
         pass

@@ -1,0 +1,168 @@
+"""Native (C++) host runtime: loader + ctypes bindings.
+
+The equivalent of the reference's NativeLibraryLoader.java (L3 in
+SURVEY.md §1): builds/loads libmgl_native.so and exposes typed wrappers.
+Set MGL_TPU_NATIVE=0 to force the pure-Python fallbacks; set
+MGL_TPU_NATIVE_PATH to load a prebuilt .so (the USE_LIBRARY_PATH analogue,
+NativeLibraryLoader.java:21).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).parent
+_SO = _DIR / "libmgl_native.so"
+_SRC = _DIR / "src" / "mgl_native.cpp"
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             str(_SRC), "-o", str(_SO), "-pthread"],
+            check=True, capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Load (building on first use) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("MGL_TPU_NATIVE", "1") == "0":
+        return None
+    path = os.environ.get("MGL_TPU_NATIVE_PATH")
+    if path:
+        so = pathlib.Path(path)
+    else:
+        so = _SO
+        if (not so.exists()
+                or so.stat().st_mtime < _SRC.stat().st_mtime) and not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+
+    lib.pairhmm_f64_batch.argtypes = [
+        ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+    ]
+    lib.cigar_decode_batch.argtypes = [
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+    ]
+    lib.score_max_batch.argtypes = [ctypes.c_int32] + [ctypes.c_void_p] * 2 + [
+        ctypes.c_int64] + [ctypes.c_void_p] * 3 + [ctypes.c_void_p] * 6
+    _lib = lib
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def pairhmm_f64_rescue(reads: list[dict], haps: list[np.ndarray],
+                       pairs: list[tuple[int, int]],
+                       n_threads: int | None = None) -> np.ndarray | None:
+    """Double-precision scores for the rescue tail.  Returns (B,) float64
+    scaled scores, or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not pairs:
+        return None
+    from mgl_tpu.core.context import CTX_F64, read_transition_rows
+
+    B = len(pairs)
+    max_rows = max(len(reads[ri]["bases"]) for ri, _ in pairs) + 1
+
+    read_blob, read_off = [], np.zeros(B, np.int64)
+    hap_blob, hap_off = [], np.zeros(B, np.int64)
+    rslen = np.zeros(B, np.int32)
+    haplen = np.zeros(B, np.int32)
+    trans = np.zeros((B, 7, max_rows), np.float64)
+    y_init = np.zeros(B, np.float64)
+
+    tcache: dict[int, tuple] = {}
+    ro = ho = 0
+    for b, (ri, hi) in enumerate(pairs):
+        rd, hp = reads[ri], haps[hi]
+        if ri not in tcache:
+            t = read_transition_rows(rd["q"], rd["i"], rd["d"], rd["c"], CTX_F64)
+            distm = t[5]
+            dm = (1.0 - distm)
+            dmm = distm * (1.0 / 3.0)
+            tcache[ri] = t[:5] + (dm, dmm)
+        n = len(rd["bases"])
+        read_blob.append(np.asarray(rd["bases"], np.uint8))
+        read_off[b] = ro
+        ro += n
+        rslen[b] = n
+        hap_blob.append(np.asarray(hp, np.uint8))
+        hap_off[b] = ho
+        ho += len(hp)
+        haplen[b] = len(hp)
+        for k in range(7):
+            trans[b, k, : n + 1] = tcache[ri][k]
+        y_init[b] = float(CTX_F64.initial_constant) / float(len(hp))
+
+    reads_cat = np.concatenate(read_blob) if read_blob else np.zeros(0, np.uint8)
+    haps_cat = np.concatenate(hap_blob) if hap_blob else np.zeros(0, np.uint8)
+    out = np.zeros(B, np.float64)
+    nthr = n_threads or min(8, os.cpu_count() or 1)
+    lib.pairhmm_f64_batch(
+        B, _ptr(reads_cat), _ptr(read_off), _ptr(rslen),
+        _ptr(haps_cat), _ptr(hap_off), _ptr(haplen),
+        _ptr(trans), 7 * max_rows, max_rows, _ptr(y_init), _ptr(out), nthr,
+    )
+    return out
+
+
+def cigar_decode_bulk(words: np.ndarray, ez: dict, tlen: np.ndarray,
+                      qlen: np.ndarray, strategy: int,
+                      n_threads: int | None = None):
+    """Bulk nibble->CIGAR decode.  words: (B, n_words, r1p) contiguous
+    uint32 (per-pair de-interleaved).  Returns list[(cigar, offset)] or
+    None if native lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = words.shape[0]
+    cap = 16 * max(int(tlen.max()), int(qlen.max())) + 16
+    cigars = np.zeros((B, cap), np.uint8)
+    offsets = np.zeros(B, np.int32)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    tl, ql = i32(tlen), i32(qlen)
+    mx_t, mx_q = i32(ez["max_t"]), i32(ez["max_q"])
+    seg, mq_t = i32(ez["seg_length"]), i32(ez["mqe_t"])
+    words = np.ascontiguousarray(words, np.uint32)
+    lib.cigar_decode_batch(
+        B, _ptr(words), words.shape[1] * words.shape[2], words.shape[2],
+        _ptr(tl), _ptr(ql), int(strategy),
+        _ptr(mx_t), _ptr(mx_q), _ptr(seg), _ptr(mq_t),
+        _ptr(cigars), cap, _ptr(offsets),
+        n_threads or min(8, os.cpu_count() or 1),
+    )
+    out = []
+    for b in range(B):
+        row = cigars[b]
+        n = int(np.argmax(row == 0))
+        out.append((row[:n].tobytes().decode(), int(offsets[b])))
+    return out

@@ -1,0 +1,269 @@
+// mgl-tpu native runtime components (C ABI, loaded via ctypes).
+//
+// TPU-native equivalents of the reference's host-side C++ runtime
+// (SURVEY.md §2.1 N7/N9/N11): the float64 rescue tier of the PairHMM
+// precision cascade and the bulk CIGAR decoder run on the host CPU while
+// the f32/int32 hot paths run on the TPU.  Implementations are written
+// fresh from the recurrences (compute_prob_scalar.cc:39-43 semantics,
+// sw.cpp:149-255 walk semantics); no reference code is copied.
+//
+// Threading uses std::thread over an atomic work queue — the stand-in for
+// the reference's TBB parallel_for over reads
+// (com_microsoft_mgl_pairhmm_MicrosoftPairHmm.cc:131).
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// PairHMM float64 rescue kernel.
+//
+// One call scores a batch of (read, hap) pairs in double precision.
+// Inputs are flat arrays with per-pair offsets; transition rows are
+// precomputed by the caller (host NumPy, from the canonical tables) so this
+// kernel is pure arithmetic:
+//   p_* : per-pair rows, length (rslen+1), index 0 unused (zero)
+//   distm_match / distm_mis: emission rows, same layout
+// Output: scaled scores (x 2^1020 / haplen), one double per pair.
+// ---------------------------------------------------------------------------
+
+static void score_pair_f64(
+    const uint8_t* read, int32_t rslen,
+    const uint8_t* hap, int32_t haplen,
+    const double* p_mm, const double* p_gapm, const double* p_mx,
+    const double* p_my, const double* p_zz,
+    const double* dm, const double* dmm,
+    double y_init, double* out)
+{
+    const int rows = rslen + 1;
+    // column-sweep with three rolling columns; X has an intra-column
+    // first-order recurrence handled serially down the rows.
+    std::vector<double> M_prev(rows, 0.0), X_prev(rows, 0.0), Y_prev(rows, 0.0);
+    std::vector<double> M_cur(rows), X_cur(rows), Y_cur(rows);
+    Y_prev[0] = y_init;
+
+    double result = 0.0;
+    for (int c = 1; c <= haplen; c++) {
+        const uint8_t hc = hap[c - 1];
+        M_cur[0] = 0.0;
+        X_cur[0] = 0.0;
+        Y_cur[0] = y_init;
+        for (int r = 1; r < rows; r++) {
+            const uint8_t rc = read[r - 1];
+            const bool match = (rc == hc) | (rc == 'N') | (hc == 'N');
+            const double distm = match ? dm[r] : dmm[r];
+            M_cur[r] = distm * (M_prev[r - 1] * p_mm[r] +
+                                (X_prev[r - 1] + Y_prev[r - 1]) * p_gapm[r]);
+            Y_cur[r] = M_prev[r] * p_my[r] + Y_prev[r] * p_zz[r];
+            X_cur[r] = M_cur[r - 1] * p_mx[r] + X_cur[r - 1] * p_zz[r];
+        }
+        result += M_cur[rows - 1] + X_cur[rows - 1];
+        M_prev.swap(M_cur);
+        X_prev.swap(X_cur);
+        Y_prev.swap(Y_cur);
+    }
+    *out = result;
+}
+
+// Batch driver.  reads/haps are concatenated; offsets index into them.
+void pairhmm_f64_batch(
+    int32_t n_pairs,
+    const uint8_t* reads, const int64_t* read_off, const int32_t* rslen,
+    const uint8_t* haps, const int64_t* hap_off, const int32_t* haplen,
+    const double* trans,            // (n_pairs, 7, max_rows) row-major
+    int64_t trans_stride,           // = 7 * max_rows
+    int64_t row_stride,             // = max_rows
+    const double* y_init,
+    double* out,
+    int32_t n_threads)
+{
+    std::atomic<int32_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1);
+            if (i >= n_pairs) return;
+            const double* t = trans + i * trans_stride;
+            score_pair_f64(
+                reads + read_off[i], rslen[i],
+                haps + hap_off[i], haplen[i],
+                t + 0 * row_stride, t + 1 * row_stride, t + 2 * row_stride,
+                t + 3 * row_stride, t + 4 * row_stride,
+                t + 5 * row_stride, t + 6 * row_stride,
+                y_init[i], out + i);
+        }
+    };
+    if (n_threads <= 1) {
+        worker();
+        return;
+    }
+    std::vector<std::thread> pool;
+    for (int32_t k = 0; k < n_threads; k++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// Bulk CIGAR decode from the Pallas kernel's nibble-packed traceback.
+//
+// Nibbles: bits0-1 move (0 diag, 1 INS, 2 DEL), bit2 E-extend, bit3
+// F-extend; diagonal d lives in word (d-2)>>3, nibble (d-2)&7.  Matches
+// mgl_tpu/ops/cigar.py:decode_packed_one (the Python specification).
+// ---------------------------------------------------------------------------
+
+struct Seg { char state; int32_t len; };
+
+static int decode_one(
+    const uint32_t* words,   // (n_words, r1p) for ONE pair, row-major
+    int64_t word_row_stride, // elements between word rows (= r1p)
+    int32_t tlen, int32_t qlen, int32_t strategy,
+    int32_t max_t, int32_t max_q, int32_t seg_length, int32_t mqe_t,
+    char* cigar_out, int32_t cigar_cap, int32_t* offset_out)
+{
+    auto nib = [&](int32_t i, int32_t j) -> uint32_t {
+        int32_t k = i + j - 2;
+        return (words[(int64_t)(k >> 3) * word_row_stride + i] >> ((k & 7) * 4)) & 0xF;
+    };
+
+    int32_t I, J, seg = 0;
+    // strategy codes: 1 SOFTCLIP, 2 INDEL, 4 LEADING_INDEL, 8 IGNORE
+    if (strategy == 2) { I = tlen; J = qlen; }
+    else if (strategy != 4) { I = max_t; J = max_q; seg = seg_length; }
+    else { I = mqe_t; J = qlen; }
+
+    std::vector<Seg> segs;
+    segs.reserve(16);
+    if (seg > 0 && strategy == 1) { segs.push_back({'S', seg}); seg = 0; }
+
+    char state = 'M';
+    for (;;) {
+        uint32_t n = nib(I, J);
+        char next_state;
+        int32_t L;
+        switch (n & 3) {
+        case 2: {               // DEL run: walk E-extend bits upward
+            L = 1;
+            int32_t k = I;
+            while (nib(k, J) & 4) { k--; L++; }
+            next_state = 'D';
+            I -= L;
+            break;
+        }
+        case 1: {               // INS run: walk F-extend bits leftward
+            L = 1;
+            int32_t k = J;
+            while (nib(I, k) & 8) { k--; L++; }
+            next_state = 'I';
+            J -= L;
+            break;
+        }
+        default:
+            next_state = 'M'; L = 1; I--; J--;
+        }
+        if (next_state == state) seg += L;
+        else { segs.push_back({state, seg}); seg = L; state = next_state; }
+        if (!(I > 0 && J > 0)) break;
+    }
+
+    int32_t offset;
+    if (strategy == 1) {                       // SOFTCLIP
+        segs.push_back({state, seg});
+        if (J > 0) segs.push_back({'S', J});
+        offset = I;
+    } else if (strategy == 8) {                // IGNORE
+        segs.push_back({state, seg + J});
+        offset = I - J;
+    } else {                                   // INDEL / LEADING_INDEL
+        segs.push_back({state, seg});
+        if (I > 0) segs.push_back({'D', I});
+        else if (J > 0) segs.push_back({'I', J});
+        offset = 0;
+    }
+
+    // emit reversed, skipping zero-length
+    char* p = cigar_out;
+    char* end = cigar_out + cigar_cap - 1;
+    for (auto it = segs.rbegin(); it != segs.rend(); ++it) {
+        if (it->len <= 0) continue;
+        int wrote = snprintf(p, end - p, "%d%c", it->len, it->state);
+        if (wrote < 0 || p + wrote >= end) return -1;
+        p += wrote;
+    }
+    *p = 0;
+    *offset_out = offset;
+    return (int)(p - cigar_out);
+}
+
+// Batch decode.  words: (n_words, r1p, n_lanes) uint32 (the kernel output,
+// diag-word major).  Per pair b we pass a lane-strided view — to keep the
+// inner loop simple the caller passes lane-deinterleaved copies instead:
+// words_b = words[:, :, b] contiguous (n_words, r1p).
+void cigar_decode_batch(
+    int32_t n_pairs,
+    const uint32_t* words,      // (n_pairs, n_words, r1p) contiguous
+    int64_t pair_stride,        // = n_words * r1p
+    int64_t word_row_stride,    // = r1p
+    const int32_t* tlen, const int32_t* qlen, int32_t strategy,
+    const int32_t* max_t, const int32_t* max_q,
+    const int32_t* seg_length, const int32_t* mqe_t,
+    char* cigars_out,           // (n_pairs, cigar_cap)
+    int32_t cigar_cap,
+    int32_t* offsets_out,
+    int32_t n_threads)
+{
+    std::atomic<int32_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1);
+            if (i >= n_pairs) return;
+            decode_one(words + (int64_t)i * pair_stride, word_row_stride,
+                       tlen[i], qlen[i], strategy,
+                       max_t[i], max_q[i], seg_length[i], mqe_t[i],
+                       cigars_out + (int64_t)i * cigar_cap, cigar_cap,
+                       offsets_out + i);
+        }
+    };
+    if (n_threads <= 1) { worker(); return; }
+    std::vector<std::thread> pool;
+    for (int32_t k = 0; k < n_threads; k++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
+// ScoreMax (ez) bookkeeping from the kernel's last-col/last-row samples.
+// Mirrors sw.cpp:100-127 including the >= last-column rule and the
+// last-row tie-closer-to-diagonal rule.  lc/lr: (Dm, n_lanes) int32.
+// ---------------------------------------------------------------------------
+void score_max_batch(
+    int32_t n_pairs,
+    const int32_t* lc, const int32_t* lr,
+    int64_t row_stride,          // = n_lanes
+    const int32_t* lane,         // lane index per pair
+    const int32_t* tlen, const int32_t* qlen,
+    int32_t* mqe, int32_t* mqe_t,
+    int32_t* max_, int32_t* max_t, int32_t* max_q, int32_t* seg_length)
+{
+    for (int32_t b = 0; b < n_pairs; b++) {
+        const int32_t tl = tlen[b], ql = qlen[b], ln = lane[b];
+        int32_t best = INT32_MIN, best_t = -1;
+        for (int32_t i = 1; i <= tl; i++) {
+            int32_t v = lc[(int64_t)(i + ql - 2) * row_stride + ln];
+            if (v >= best) { best = v; best_t = i; }
+        }
+        int32_t mx = best, mx_t = best_t, mx_q = ql, seg = 0;
+        for (int32_t j = 1; j <= ql; j++) {
+            int32_t v = lr[(int64_t)(tl + j - 2) * row_stride + ln];
+            if (v > mx || (v == mx && std::abs(tl - j) < std::abs(mx_t - mx_q))) {
+                mx = v; mx_t = tl; mx_q = j; seg = ql - j;
+            }
+        }
+        mqe[b] = best; mqe_t[b] = best_t;
+        max_[b] = mx; max_t[b] = mx_t; max_q[b] = mx_q; seg_length[b] = seg;
+    }
+}
+
+}  // extern "C"

@@ -91,6 +91,92 @@ def decode_one(
     return cigar, offset
 
 
+def decode_packed_one(
+    words: np.ndarray,      # (W, R1p) uint32: nibble-packed diagonals for one pair
+    ez: dict,
+    tlen: int,
+    qlen: int,
+    strategy: OverhangStrategy,
+) -> tuple[str, int]:
+    """CIGAR decode from the Pallas kernel's 4-bit traceback.
+
+    Nibble layout (kernels/sw_pallas.py): bits0-1 move (0 diag / 1 INS /
+    2 DEL), bit2 E-extend, bit3 F-extend; 8 diagonals per uint32 word,
+    diagonal d at word (d-2)//8 nibble (d-2)%8.  Run lengths are rebuilt by
+    walking the extend bits, which reproduces the reference's gap-run
+    counters (sw.cpp:73-93) exactly.
+    """
+    def nib(i, j):
+        k = i + j - 2
+        return (int(words[k >> 3, i]) >> ((k & 7) * 4)) & 0xF
+
+    segment_length = 0
+    if strategy == OverhangStrategy.INDEL:
+        I, J = tlen, qlen
+    elif strategy != OverhangStrategy.LEADING_INDEL:
+        I, J = int(ez["max_t"]), int(ez["max_q"])
+        segment_length = int(ez["seg_length"])
+    else:
+        I, J = int(ez["mqe_t"]), qlen
+
+    result = []
+    if segment_length > 0 and strategy == OverhangStrategy.SOFTCLIP:
+        result.append((STATE_CLIP, segment_length))
+        segment_length = 0
+
+    state = STATE_MATCH
+    while True:
+        n = nib(I, J)
+        move = n & 3
+        if move == 2:       # DEL run: walk E-extend bits upward
+            L, k = 1, I
+            while nib(k, J) & 4:
+                k -= 1
+                L += 1
+            next_state, step_length = STATE_DEL, L
+            I -= L
+        elif move == 1:     # INS run: walk F-extend bits leftward
+            L, k = 1, J
+            while nib(I, k) & 8:
+                k -= 1
+                L += 1
+            next_state, step_length = STATE_INS, L
+            J -= L
+        else:
+            next_state, step_length = STATE_MATCH, 1
+            I -= 1
+            J -= 1
+
+        if next_state == state:
+            segment_length += step_length
+        else:
+            result.append((state, segment_length))
+            segment_length = step_length
+            state = next_state
+
+        if not (I > 0 and J > 0):
+            break
+
+    if strategy == OverhangStrategy.SOFTCLIP:
+        result.append((state, segment_length))
+        if J > 0:
+            result.append((STATE_CLIP, J))
+        offset = I
+    elif strategy == OverhangStrategy.IGNORE:
+        result.append((state, segment_length + J))
+        offset = I - J
+    else:
+        result.append((state, segment_length))
+        if I > 0:
+            result.append((STATE_DEL, I))
+        elif J > 0:
+            result.append((STATE_INS, J))
+        offset = 0
+
+    cigar = "".join(f"{n_}{s}" for s, n_ in reversed(result) if n_ > 0)
+    return cigar, offset
+
+
 def decode_batch(
     btr: np.ndarray,        # (D, B, R) int16
     ez: dict,               # dict of (B,) arrays from compute_score_max

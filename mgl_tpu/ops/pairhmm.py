@@ -210,15 +210,48 @@ def pairhmm_forward_f32(
     return final[-1]
 
 
+def _use_pallas(impl: str) -> bool:
+    import os
+
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    if os.environ.get("MGL_TPU_IMPL") in ("xla", "lax"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def forward_scores_xla(batch: PairHMMBatch) -> np.ndarray:
+    """f32 scores via the lax.scan fallback (CPU/GPU or debugging)."""
+    return np.asarray(
+        pairhmm_forward_f32(
+            jnp.asarray(batch.hap), jnp.asarray(batch.haplen),
+            jnp.asarray(batch.rchar), jnp.asarray(batch.rslen),
+            jnp.asarray(batch.p_mm), jnp.asarray(batch.p_gapm),
+            jnp.asarray(batch.p_mx), jnp.asarray(batch.p_my),
+            jnp.asarray(batch.p_zz),
+            jnp.asarray(batch.distm_match), jnp.asarray(batch.distm_mis),
+            jnp.asarray(batch.y_init),
+        )
+    )
+
+
 def compute_likelihoods(
     reads: list[dict],
     haps: list[np.ndarray],
     use_double: bool = False,
+    use_fast_path: bool = False,
+    impl: str = "auto",
 ) -> np.ndarray:
-    """Full cascade: device f32 pass, host f64 rescue below 1e-28.
+    """Full cascade: optional seed-extend tier-0, device f32 pass, f64
+    rescue below 1e-28.
 
     Returns (num_reads, num_haps) float64 log10 likelihoods, matching
-    MicrosoftPairHmm.computeLikelihoods output layout.
+    MicrosoftPairHmm.computeLikelihoods output layout.  ``use_fast_path``
+    activates the seed-extend prefilter the reference ships dormant
+    (com_microsoft_mgl_pairhmm_MicrosoftPairHmm.cc:140-143): well-matching
+    pairs take the fast estimator's score and skip the DP.
     """
     from mgl_tpu.ref_impl.pairhmm_scalar import compute_score
 
@@ -226,31 +259,55 @@ def compute_likelihoods(
     out = np.zeros((n_r, n_h), dtype=np.float64)
 
     pair_index = [(ri, hi) for ri in range(n_r) for hi in range(n_h)]
-    if not use_double:
-        batch = pack_pairs(reads, haps, pair_index)
-        scores = np.asarray(
-            pairhmm_forward_f32(
-                jnp.asarray(batch.hap), jnp.asarray(batch.haplen),
-                jnp.asarray(batch.rchar), jnp.asarray(batch.rslen),
-                jnp.asarray(batch.p_mm), jnp.asarray(batch.p_gapm),
-                jnp.asarray(batch.p_mx), jnp.asarray(batch.p_my),
-                jnp.asarray(batch.p_zz),
-                jnp.asarray(batch.distm_match), jnp.asarray(batch.distm_mis),
-                jnp.asarray(batch.y_init),
-            )
-        )
-    else:
-        scores = np.full(len(pair_index), -1.0, dtype=np.float64)  # force rescue
+    fast_hit: dict[int, float] = {}
+    if use_fast_path and not use_double:
+        from mgl_tpu.ops.seed_extend import fast_scores
+
+        fs = fast_scores(reads, haps, pair_index)
+        fast_hit = {b: float(fs[b]) for b in range(len(pair_index))
+                    if fs[b] >= float(MIN_ACCEPTED)}
+
+    dp_pairs = [b for b in range(len(pair_index)) if b not in fast_hit]
+    scores = np.full(len(pair_index), -1.0, dtype=np.float64)
+    for b, s in fast_hit.items():
+        scores[b] = s
+    if not use_double and dp_pairs:
+        batch = pack_pairs(reads, haps, [pair_index[b] for b in dp_pairs])
+        if _use_pallas(impl):
+            from mgl_tpu.kernels.pairhmm_pallas import forward_scores
+
+            sub = forward_scores(batch)
+        else:
+            sub = forward_scores_xla(batch)
+        for b, s in zip(dp_pairs, sub):
+            scores[b] = float(s)
 
     lic32 = float(CTX_F32.log10_initial_constant)
     lic64 = float(CTX_F64.log10_initial_constant)
-    for b, (ri, hi) in enumerate(pair_index):
-        s = float(scores[b])
-        if s >= float(MIN_ACCEPTED):
-            out[ri, hi] = np.log10(s) - lic32
-        else:
-            rd = reads[ri]
-            s64 = compute_score(haps[hi], rd["bases"], rd["q"], rd["i"],
-                                rd["d"], rd["c"], ctx=CTX_F64)
-            out[ri, hi] = np.log10(s64) - lic64
+
+    rescue = [b for b in range(len(pair_index))
+              if float(scores[b]) < float(MIN_ACCEPTED)]
+    rescue_scores: dict[int, float] = {}
+    if rescue:
+        # double tier: native threaded kernel when available, NumPy otherwise
+        from mgl_tpu.native import pairhmm_f64_rescue
+
+        native = pairhmm_f64_rescue(reads, haps,
+                                    [pair_index[b] for b in rescue])
+        if native is not None:
+            rescue_scores = dict(zip(rescue, native))
+        else:  # pragma: no cover - fallback path
+            for b in rescue:
+                ri, hi = pair_index[b]
+                rd = reads[ri]
+                rescue_scores[b] = compute_score(
+                    haps[hi], rd["bases"], rd["q"], rd["i"], rd["d"],
+                    rd["c"], ctx=CTX_F64)
+
+    with np.errstate(divide="ignore"):
+        for b, (ri, hi) in enumerate(pair_index):
+            if b in rescue_scores:
+                out[ri, hi] = np.log10(rescue_scores[b]) - lic64
+            else:
+                out[ri, hi] = np.log10(float(scores[b])) - lic32
     return out

@@ -23,6 +23,6 @@ $VEC -c "$REF/mgl_pairhmm/compute_prob_avxf.cc" -o obj/cpaf.o
 $VEC -c "$REF/mgl_pairhmm/compute_prob_avxd.cc" -o obj/cpad.o
 $BASE -c "$REF/mgl_pairhmm/compute_fast_prob.cc" -o obj/cfp.o
 $BASE -c "$REF/mgl_pairhmm/pairhmm_common.cc" -o obj/phc.o
-$BASE -c oracle_main.cpp -o obj/main.o
+$VEC -c oracle_main.cpp -o obj/main.o
 $BASE -o oracle obj/*.o -ltbb -ltbbmalloc
 echo built: "$(pwd)/oracle"

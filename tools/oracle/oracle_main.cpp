@@ -145,15 +145,110 @@ static int run_pairhmm() {
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// CPU baseline benchmarks (BASELINE.md "first measurement task"): time the
+// reference's production AVX2 kernels on synthetic 150 bp batches, one core.
+// ---------------------------------------------------------------------------
+
+#include <chrono>
+#include <random>
+
+static void rand_seq(std::mt19937& rng, char* dst, int n) {
+    static const char B[4] = {'A', 'C', 'G', 'T'};
+    for (int i = 0; i < n; i++) dst[i] = B[rng() & 3];
+}
+
+static int run_bench_sw(int n_pairs, int tlen, int qlen) {
+    std::mt19937 rng(42);
+    std::vector<std::string> ts(n_pairs), qs(n_pairs);
+    for (int i = 0; i < n_pairs; i++) {
+        ts[i].resize(tlen); qs[i].resize(qlen);
+        rand_seq(rng, &ts[i][0], tlen);
+        // query = mutated copy of target prefix for realistic traceback
+        qs[i] = ts[i].substr(0, qlen);
+        for (int k = 0; k < qlen / 20; k++) qs[i][rng() % qlen] = "ACGT"[rng() & 3];
+    }
+    swParameters p{25, -50, 110, 6};
+    // warmup
+    std::string cigar;
+    align_avx(ts[0].c_str(), tlen, qs[0].c_str(), qlen, p, 1, &cigar);
+    auto t0 = std::chrono::steady_clock::now();
+    long long sink = 0;
+    for (int i = 0; i < n_pairs; i++) {
+        std::string cg;
+        sink += align_avx(ts[i].c_str(), tlen, qs[i].c_str(), qlen, p, 1, &cg);
+        sink += (long long)cg.size();
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    double sec = std::chrono::duration<double>(t1 - t0).count();
+    double cells = double(n_pairs) * tlen * qlen;
+    printf("{\"kernel\": \"sw_avx\", \"pairs\": %d, \"tlen\": %d, \"qlen\": %d, "
+           "\"seconds\": %.4f, \"gcups\": %.3f, \"sink\": %lld}\n",
+           n_pairs, tlen, qlen, sec, cells / sec / 1e9, sink);
+    return 0;
+}
+
+static int run_bench_pairhmm(int n_reads, int n_haps, int rdlen, int haplen) {
+    std::mt19937 rng(43);
+    std::vector<std::string> rds(n_reads), hps(n_haps);
+    std::vector<std::vector<char>> q(n_reads), ii(n_reads), dd(n_reads), cc(n_reads);
+    for (int i = 0; i < n_reads; i++) {
+        rds[i].resize(rdlen);
+        rand_seq(rng, &rds[i][0], rdlen);
+        q[i].assign(rdlen, 30); ii[i].assign(rdlen, 45);
+        dd[i].assign(rdlen, 45); cc[i].assign(rdlen, 10);
+    }
+    for (int j = 0; j < n_haps; j++) {
+        hps[j].resize(haplen);
+        rand_seq(rng, &hps[j][0], haplen);
+    }
+    // warmup + timed loop: per read, all haps (JNI tiering without rescue)
+    auto t0 = std::chrono::steady_clock::now();
+    double sink = 0;
+    for (int i = 0; i < n_reads; i++) {
+        readinfo read;
+        read.rslen = rdlen;
+        read.rs = &rds[i][0];
+        read.q = q[i].data(); read.i = ii[i].data();
+        read.d = dd[i].data(); read.c = cc[i].data();
+        read.irs = nullptr;
+        std::vector<hapinfo> haps(n_haps);
+        for (int j = 0; j < n_haps; j++) {
+            haps[j].haplen = haplen; haps[j].hap = &hps[j][0];
+            haps[j].index = j; haps[j].position = 0; haps[j].score = 0.0;
+        }
+        compute_prob_avxf(read, haps);
+        for (int j = 0; j < n_haps; j++) sink += haps[j].score;
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    double sec = std::chrono::duration<double>(t1 - t0).count();
+    double cells = double(n_reads) * n_haps * rdlen * haplen;
+    printf("{\"kernel\": \"pairhmm_avxf\", \"reads\": %d, \"haps\": %d, "
+           "\"rdlen\": %d, \"haplen\": %d, \"seconds\": %.4f, \"gcups\": %.3f, "
+           "\"sink\": %g}\n", n_reads, n_haps, rdlen, haplen, sec,
+           cells / sec / 1e9, sink);
+    return 0;
+}
+
 int main(int argc, char** argv) {
     _MM_SET_FLUSH_ZERO_MODE(_MM_FLUSH_ZERO_ON);
     if (argc < 2) {
-        fprintf(stderr, "usage: oracle tables <dir> | sw | pairhmm\n");
+        fprintf(stderr, "usage: oracle tables <dir> | sw | pairhmm | "
+                        "bench_sw [n t q] | bench_pairhmm [nr nh rl hl]\n");
         return 2;
     }
     if (!strcmp(argv[1], "tables")) return run_tables(argc > 2 ? argv[2] : ".");
     if (!strcmp(argv[1], "sw")) return run_sw();
     if (!strcmp(argv[1], "pairhmm")) return run_pairhmm();
+    if (!strcmp(argv[1], "bench_sw"))
+        return run_bench_sw(argc > 2 ? atoi(argv[2]) : 10000,
+                            argc > 3 ? atoi(argv[3]) : 150,
+                            argc > 4 ? atoi(argv[4]) : 150);
+    if (!strcmp(argv[1], "bench_pairhmm"))
+        return run_bench_pairhmm(argc > 2 ? atoi(argv[2]) : 200,
+                                 argc > 3 ? atoi(argv[3]) : 8,
+                                 argc > 4 ? atoi(argv[4]) : 150,
+                                 argc > 5 ? atoi(argv[5]) : 400);
     fprintf(stderr, "unknown mode %s\n", argv[1]);
     return 2;
 }
