@@ -63,7 +63,7 @@ def pipeline_step(mesh: Mesh):
       ref_window: dict (replicated): target (1, T) i32, tlen (1,) i32
     """
 
-    def step(rchar, rslen, trans, query, qlen, key,
+    def step(rchar, rslen, trans, query, qlen, key_hi, key_lo,
              hap, haplen, y_init, target, tlen):
         # 1. likelihood block (dp x hp block of the R x H matrix)
         lik = _pairhmm_block(rchar, rslen, trans, y_init, hap, haplen)
@@ -83,27 +83,28 @@ def pipeline_step(mesh: Mesh):
 
         # 4. global coordinate sort of read keys over dp (bitonic shard merge)
         order_vals = jax.lax.axis_index("dp") * r_l + jnp.arange(r_l, dtype=jnp.int32)
-        return lik, best, sw_best, key, order_vals
+        return lik, best, sw_best, key_hi, key_lo, order_vals
 
     dp, hp, rep = P("dp"), P("hp"), P()
     sharded = jax.shard_map(
         step, mesh=mesh,
-        in_specs=(dp, dp, dp, dp, dp, dp, hp, hp, hp, rep, rep),
-        out_specs=(P("dp", "hp"), dp, dp, dp, dp),
+        in_specs=(dp, dp, dp, dp, dp, dp, dp, hp, hp, hp, rep, rep),
+        out_specs=(P("dp", "hp"), dp, dp, dp, dp, dp),
         check_vma=False,
     )
 
     def full(reads: dict, haps: dict, ref_window: dict):
-        lik, best, sw_best, keys, vals = sharded(
+        lik, best, sw_best, khi, klo, vals = sharded(
             reads["rchar"], reads["rslen"], reads["trans"],
-            reads["query"], reads["qlen"], reads["key"],
+            reads["query"], reads["qlen"],
+            reads["key_hi"], reads["key_lo"],
             haps["hap"], haps["haplen"], haps["y_init"],
             ref_window["target"], ref_window["tlen"],
         )
-        skeys, svals = distributed_sort(keys, vals, mesh, "dp")
+        shi, slo, svals = distributed_sort(khi, klo, vals, mesh, "dp")
         return {"likelihoods": lik, "best_hap_lik": best,
-                "sw_scores": sw_best, "sorted_keys": skeys,
-                "sorted_order": svals}
+                "sw_scores": sw_best, "sorted_key_hi": shi,
+                "sorted_key_lo": slo, "sorted_order": svals}
 
     return full
 
@@ -138,13 +139,18 @@ def make_example_inputs(mesh: Mesh, r_per_dev=8, h_per_dev=4,
     rchar[:, 1:] = bases
     haps = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=(H, hap_len)).astype(np.int32)
 
+    keys = rng.integers(0, 2**62, size=R).astype(np.uint64)
+    from mgl_tpu.parallel.sort import split_u64
+
+    key_hi, key_lo = split_u64(keys)
     reads = {
         "rchar": rchar,
         "rslen": np.full(R, read_len, np.int32),
         "trans": trans,
         "query": bases.astype(np.int32),
         "qlen": np.full(R, read_len, np.int32),
-        "key": rng.integers(0, 2**62, size=R).astype(np.uint64),
+        "key_hi": key_hi,
+        "key_lo": key_lo,
     }
     hap_d = {
         "hap": haps,

@@ -1,0 +1,241 @@
+"""Seed-and-extend read mapper (BASELINE.json config 4).
+
+New capability beyond the reference library (which only scores/aligns
+given pairs): map reads to a reference sequence.
+
+Stages:
+1. **Index** (host, NumPy): sorted k-mer table of the reference —
+   the per-host replicated index of the scale-out design (SURVEY.md §5
+   "distributed communication backend": reference/index replicated per
+   host over DCN at startup).
+2. **Seed** (host, vectorized): non-overlapping read k-mers -> candidate
+   diagonals via binary search; majority vote picks a candidate position
+   per read.
+3. **Verify/extend** (device): banded SW score of each read against its
+   candidate reference window (Pallas kernel on TPU), optional traceback
+   for CIGARs.
+
+The host stages are deliberately NumPy-vectorized (no Python per-read
+loops) so a single host core can feed the chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+_CODE = np.full(256, 4, np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _CODE[b] = i
+    _CODE[ord(chr(b).lower())] = i
+
+
+def encode(seq: np.ndarray) -> np.ndarray:
+    """ASCII -> 2-bit codes (4 = ambiguous)."""
+    return _CODE[np.asarray(seq, dtype=np.uint8)]
+
+
+def _kmers(code: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-mers of a 2-bit coded sequence; returns (values, valid)."""
+    n = len(code) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64), np.zeros(0, bool)
+    vals = np.zeros(n, np.uint64)
+    for i in range(k):
+        vals = (vals << np.uint64(2)) | code[i: n + i].astype(np.uint64)
+    isn = (code >= 4).astype(np.int32)
+    cs = np.concatenate([[0], np.cumsum(isn)])
+    valid = (cs[k:] - cs[:-k]) == 0
+    return vals, valid
+
+
+@dataclasses.dataclass
+class ReferenceIndex:
+    """Sorted k-mer index of one reference sequence."""
+
+    k: int
+    ref: np.ndarray              # ASCII uint8
+    sorted_kmers: np.ndarray     # (M,) uint64
+    positions: np.ndarray        # (M,) int32 — ref offset of each kmer
+    max_hits: int = 64
+
+    @staticmethod
+    def build(ref_seq, k: int = 16, max_hits: int = 64) -> "ReferenceIndex":
+        ref = np.frombuffer(bytes(ref_seq), np.uint8) if not isinstance(
+            ref_seq, np.ndarray) else ref_seq.astype(np.uint8)
+        code = encode(ref)
+        vals, valid = _kmers(code, k)
+        pos = np.nonzero(valid)[0].astype(np.int32)
+        vals = vals[valid]
+        order = np.argsort(vals, kind="stable")
+        return ReferenceIndex(k=k, ref=ref, sorted_kmers=vals[order],
+                              positions=pos[order].astype(np.int32),
+                              max_hits=max_hits)
+
+    def lookup(self, kmer_vals: np.ndarray):
+        """Candidate (hit_index_ranges) for a flat array of k-mer values."""
+        lo = np.searchsorted(self.sorted_kmers, kmer_vals, "left")
+        hi = np.searchsorted(self.sorted_kmers, kmer_vals, "right")
+        return lo, hi
+
+
+def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
+                    read_len: int, stride: int | None = None):
+    """Vectorized candidate position per read by diagonal voting.
+
+    reads: (N, read_len) ASCII.  Returns (pos, votes): best reference
+    offset per read (int32, -1 if unmapped) and its vote count.
+    """
+    k = index.k
+    stride = stride or k
+    N = reads.shape[0]
+    offsets = np.arange(0, read_len - k + 1, stride, dtype=np.int32)
+    S = len(offsets)
+
+    code = encode(reads.reshape(-1)).reshape(N, read_len)
+    # seed kmer values for every read x seed offset
+    vals = np.zeros((N, S), np.uint64)
+    valid = np.ones((N, S), bool)
+    for i in range(k):
+        col = code[:, offsets + i]
+        vals = (vals << np.uint64(2)) | col.astype(np.uint64)
+        valid &= col < 4
+
+    lo, hi = index.lookup(vals.reshape(-1))
+    cnt = hi - lo
+    keep = (cnt > 0) & (cnt <= index.max_hits) & valid.reshape(-1)
+    lo, hi = lo[keep], hi[keep]
+    seed_read = np.repeat(np.arange(N, dtype=np.int64), S)[keep]
+    seed_off = np.tile(offsets, N)[keep]
+
+    # expand hit ranges (total bounded by max_hits per seed)
+    total = int((hi - lo).sum())
+    if total == 0:
+        return np.full(N, -1, np.int32), np.zeros(N, np.int32)
+    reps = (hi - lo).astype(np.int64)
+    flat_idx = np.repeat(lo, reps) + (
+        np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps))
+    hit_pos = index.positions[flat_idx].astype(np.int64)
+    hit_read = np.repeat(seed_read, reps)
+    hit_diag = hit_pos - np.repeat(seed_off, reps)   # candidate read start
+
+    # vote: most-supported diagonal per read (tolerate +-indel via //8 bin)
+    diag_bin = hit_diag // 8
+    key = hit_read * np.int64(1 << 40) + (diag_bin + np.int64(1 << 32))
+    uniq, counts = np.unique(key, return_counts=True)
+    u_read = (uniq >> 40).astype(np.int64)
+    u_bin = (uniq & np.int64((1 << 40) - 1)) - np.int64(1 << 32)
+
+    # best bin per read: sort by (read, count) and take last per read
+    order = np.lexsort((counts, u_read))
+    u_read_s, u_bin_s, counts_s = u_read[order], u_bin[order], counts[order]
+    last = np.nonzero(np.diff(np.concatenate([u_read_s, [-1]])) != 0)[0]
+
+    pos = np.full(N, -1, np.int32)
+    votes = np.zeros(N, np.int32)
+    # refine: exact diagonal = median hit in best bin; approximate with
+    # bin start * 8 clamped to reference
+    best_read = u_read_s[last]
+    best_pos = np.clip(u_bin_s[last] * 8, 0,
+                       len(index.ref) - 1).astype(np.int32)
+    pos[best_read] = best_pos
+    votes[best_read] = counts_s[last].astype(np.int32)
+    return pos, votes
+
+
+def map_reads(index: ReferenceIndex, reads: np.ndarray,
+              window_pad: int = 24, params=None, strategy=None,
+              with_cigar: bool = False, impl: str = "auto"):
+    """Full map: seed -> window extract -> device SW verify.
+
+    Returns dict with pos (candidate window start), score (SW best score),
+    offset_in_window, and optionally cigar per read (unmapped: pos=-1).
+    """
+    from mgl_tpu.core.params import OverhangStrategy, SWParameters
+
+    params = params or SWParameters(25, -50, 110, 6)
+    strategy = strategy or OverhangStrategy.SOFTCLIP
+    N, L = reads.shape
+    pos, votes = seed_candidates(index, reads, L)
+    mapped = np.nonzero(pos >= 0)[0]
+
+    out = {
+        "pos": np.full(N, -1, np.int64),
+        "score": np.full(N, -(2**30), np.int64),
+        "votes": votes,
+    }
+    if with_cigar:
+        out["cigar"] = np.array([""] * N, dtype=object)
+        out["offset"] = np.zeros(N, np.int64)
+    if len(mapped) == 0:
+        return out
+
+    wlen = L + 2 * window_pad
+    start = np.clip(pos[mapped] - window_pad, 0,
+                    max(len(index.ref) - wlen, 0)).astype(np.int64)
+    win_idx = start[:, None] + np.arange(wlen)[None, :]
+    windows = index.ref[np.clip(win_idx, 0, len(index.ref) - 1)]
+
+    if with_cigar:
+        from mgl_tpu.api import SmithWatermanAligner
+
+        res = SmithWatermanAligner(impl=impl).align_batch(
+            [w.tobytes() for w in windows],
+            [r.tobytes() for r in reads[mapped]], params, strategy)
+        out["pos"][mapped] = start
+        for j, i in enumerate(mapped):
+            out["cigar"][i] = res[j].cigar
+            out["offset"][i] = res[j].offset
+            out["score"][i] = 0
+    else:
+        scores = sw_score_batch(windows, reads[mapped], params, impl=impl)
+        out["pos"][mapped] = start
+        out["score"][mapped] = scores
+    return out
+
+
+def sw_score_batch(targets: np.ndarray, queries: np.ndarray, params,
+                   impl: str = "auto") -> np.ndarray:
+    """Best SW score per pair (max over last row/col), score-only device
+    pass — the mapper's verify stage."""
+    import jax.numpy as jnp
+
+    from mgl_tpu.api import _default_impl
+
+    B, T = targets.shape
+    Q = queries.shape[1]
+    tlen = np.full(B, T, np.int32)
+    qlen = np.full(B, Q, np.int32)
+
+    use_pallas = (impl if impl != "auto" else _default_impl()) == "pallas"
+    if use_pallas:
+        from mgl_tpu.kernels.sw_pallas import prepare_inputs, sw_pallas_forward
+
+        tchar, qp, tl, ql = prepare_inputs(targets.astype(np.int32), tlen,
+                                           queries.astype(np.int32), qlen)
+        lc, lr, _ = sw_pallas_forward(
+            jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
+            jnp.asarray(ql), params.match, params.mismatch,
+            params.gap_open, params.gap_extend,
+            indel_init=False, with_traceback=False)
+        lc = np.asarray(lc)[:, :B]
+        lr = np.asarray(lr)[:, :B]
+    else:
+        from mgl_tpu.ops.sw import sw_forward
+
+        res = sw_forward(
+            jnp.asarray(targets.astype(np.int32)), jnp.asarray(tlen),
+            jnp.asarray(queries.astype(np.int32)), jnp.asarray(qlen),
+            jnp.int32(params.match), jnp.int32(params.mismatch),
+            jnp.int32(params.gap_open), jnp.int32(params.gap_extend),
+            indel_init=False, with_traceback=False)
+        lc = np.asarray(res.last_col)
+        lr = np.asarray(res.last_row)
+
+    # best alignment score = max over last column and last row
+    scores = np.maximum(
+        lc[Q - 1: Q + T - 1].max(axis=0),
+        lr[T - 1: T + Q - 1].max(axis=0),
+    )
+    return scores.astype(np.int64)

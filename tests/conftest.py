@@ -9,7 +9,15 @@ numerics are identical between CPU and TPU for the f32/int32 ops we use
 import os
 
 # Must happen before any jax import in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# The axon TPU plugin registers itself from sitecustomize in every python
+# process when PALLAS_AXON_POOL_IPS is set, ignores JAX_PLATFORMS=cpu, and
+# hangs when two processes contend for the single tunnel.  Tests therefore
+# run pure-CPU (set MGL_TPU_TEST_TPU=1 to keep the TPU for the -m tpu
+# hardware-parity tests).
+if os.environ.get("MGL_TPU_TEST_TPU") != "1":
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,102 @@
+"""Mapper + align/sort pipeline tests (CPU; small simulated reference)."""
+
+import numpy as np
+import pytest
+
+from mgl_tpu.pipelines.align_sort import align_and_sort, coordinate_keys
+from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads, seed_candidates
+
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+@pytest.fixture(scope="module")
+def sim():
+    rng = np.random.default_rng(7)
+    ref = rng.choice(BASES, size=60_000)
+    idx = ReferenceIndex.build(ref, k=16)
+    N, L = 300, 100
+    starts = rng.integers(0, len(ref) - L, size=N)
+    reads = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random((N, L)) < 0.01
+    reads[mut] = rng.choice(BASES, size=int(mut.sum()))
+    return idx, reads, starts
+
+
+def test_seed_candidates_accuracy(sim):
+    idx, reads, starts = sim
+    pos, votes = seed_candidates(idx, reads, reads.shape[1])
+    ok = np.abs(pos - starts) <= 8
+    assert ok.mean() > 0.98
+    assert (votes[ok] >= 2).mean() > 0.95
+
+
+def test_map_reads_windows_contain_truth(sim):
+    idx, reads, starts = sim
+    out = map_reads(idx, reads)
+    mapped = out["pos"] >= 0
+    assert mapped.mean() > 0.98
+    # candidate window must contain the true start
+    d = starts[mapped] - out["pos"][mapped]
+    assert ((d >= 0) & (d <= 48)).mean() > 0.98
+    # verified score should be near-perfect match score (>= 80% of max)
+    L = reads.shape[1]
+    assert (out["score"][mapped] >= 0.8 * 25 * L).mean() > 0.95
+
+
+def test_map_reads_cigar_mode(sim):
+    idx, reads, starts = sim
+    sub = reads[:32]
+    out = map_reads(idx, sub, with_cigar=True)
+    mapped = out["pos"] >= 0
+    assert mapped.mean() > 0.9
+    for i in np.nonzero(mapped)[0]:
+        cig = out["cigar"][i]
+        assert cig and cig[-1] in "MIDS"
+        # aligned length along the query == read length
+        import re
+        qlen = sum(int(n) for n, op in re.findall(r"(\d+)([MIS])", cig))
+        assert qlen == sub.shape[1]
+
+
+def test_unmappable_reads(sim):
+    idx, _, _ = sim
+    rng = np.random.default_rng(8)
+    junk = rng.choice(BASES, size=(20, 100))
+    out = map_reads(idx, junk)
+    # random 100-mers shouldn't collect meaningful votes (some spurious
+    # single-seed hits are fine; scores must be far from perfect)
+    L = 100
+    assert (out["score"] < 0.8 * 25 * L).all()
+
+
+def test_coordinate_keys_order():
+    pos = np.array([100, -1, 5, 100], dtype=np.int64)
+    keys = coordinate_keys(np.zeros(4), pos, np.arange(4))
+    order = np.argsort(keys)
+    # pos 5 first, then the two pos-100 reads by tiebreak, unmapped last
+    assert list(order) == [2, 0, 3, 1]
+
+
+def test_align_and_sort_single_device(sim):
+    idx, reads, starts = sim
+    out = align_and_sort(idx, reads)
+    order = out["order"]
+    sorted_pos = out["pos"][order]
+    mapped = sorted_pos >= 0
+    assert np.all(np.diff(sorted_pos[mapped]) >= 0)
+
+
+def test_align_and_sort_mesh_matches_single(sim):
+    import jax
+
+    from mgl_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("need 4 cpu devices")
+    idx, reads, starts = sim
+    mesh = make_mesh(4, 1, devices=devs[:4])
+    out_m = align_and_sort(idx, reads, mesh=mesh)
+    out_1 = align_and_sort(idx, reads)
+    np.testing.assert_array_equal(out_m["keys"], out_1["keys"])
+    np.testing.assert_array_equal(out_m["order"], out_1["order"])
