@@ -29,7 +29,8 @@ def _sync(x):
 def bench_sw(B=32768, T=150, Q=150, with_traceback=True, iters=8):
     import jax.numpy as jnp
 
-    from mgl_tpu.kernels.sw_pallas import prepare_inputs, sw_pallas_forward
+    from mgl_tpu.kernels.sw_pallas import (prepare_inputs, sw_pallas_forward,
+                                           sw_pallas_scores)
 
     rng = np.random.default_rng(0)
     tbuf = rng.integers(65, 85, size=(B, T)).astype(np.int32)
@@ -42,15 +43,18 @@ def bench_sw(B=32768, T=150, Q=150, with_traceback=True, iters=8):
     args = (jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
             jnp.asarray(ql), 25, -50, 110, 6)
 
-    run = lambda: sw_pallas_forward(*args, indel_init=False,
-                                    with_traceback=with_traceback)
-    _sync(run()[0])  # compile + warm
+    if with_traceback:
+        run = lambda: sw_pallas_forward(*args, indel_init=False,
+                                        with_traceback=True)[0]
+    else:
+        run = lambda: sw_pallas_scores(*args, indel_init=False)
+    _sync(run())  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         outs = [run() for _ in range(iters)]
         for o in outs:
-            _sync(o[0])
+            _sync(o)
         best = min(best, (time.time() - t0) / iters)
     return B * T * Q / best / 1e9, best
 

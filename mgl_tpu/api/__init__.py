@@ -82,6 +82,9 @@ class SmithWatermanAligner:
         alts = [_as_u8(a) for a in alts]
         if len(refs) != len(alts):
             raise ValueError("refs and alts must have equal length")
+        from mgl_tpu.utils import debug_check
+        from mgl_tpu.utils.metrics import METRICS
+
         impl = self.impl if self.impl != "auto" else _default_impl()
         if impl == "pallas":
             from mgl_tpu.kernels.sw_pallas import align_batch as backend
@@ -90,14 +93,21 @@ class SmithWatermanAligner:
         results: list[SWResult | None] = [None] * len(refs)
         buckets = bucket_pairs([len(r) for r in refs], [len(a) for a in alts],
                                max_batch=self.max_batch)
-        for (_pt, _pq), idxs in buckets:
-            got = backend(
-                [refs[i].tobytes() for i in idxs],
-                [alts[i].tobytes() for i in idxs],
-                params, strategy,
-            )
-            for i, (cig, off) in zip(idxs, got):
-                results[i] = SWResult(cig, off)
+        METRICS.count("sw.pairs", len(refs))
+        METRICS.count("sw.buckets", len(buckets))
+        with METRICS.timer("sw.align_batch"):
+            for (_pt, _pq), idxs in buckets:
+                got = backend(
+                    [refs[i].tobytes() for i in idxs],
+                    [alts[i].tobytes() for i in idxs],
+                    params, strategy,
+                )
+                for i, (cig, off) in zip(idxs, got):
+                    results[i] = SWResult(cig, off)
+        if debug_check.enabled():
+            debug_check.check_sw_results(
+                [r.tobytes() for r in refs], [a.tobytes() for a in alts],
+                params, strategy, results)
         return results  # type: ignore[return-value]
 
 

@@ -172,6 +172,125 @@ def _sw_kernel(
     jax.lax.fori_loop(2, D, body, 0)
 
 
+def _sw_score_kernel(
+    mt_ref, mm_ref, go_ref, ge_ref,
+    tchar_ref, qpad_ref, tlen_ref, qlen_ref,
+    score_ref,
+    sc_buf, e_ref, f_ref, qd_ref, best_ref,
+    *,
+    R1p: int, D: int, indel_init: bool,
+):
+    """Score-only fast path: no gap counters, no per-diagonal outputs —
+    the best alignment score (max over last row + last column, the value
+    part of sw.cpp:100-127) accumulates on-device."""
+    w_match = mt_ref[0, 0]
+    w_mismatch = mm_ref[0, 0]
+    w_open = go_ref[0, 0]
+    w_ext = ge_ref[0, 0]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (R1p, LANES), 0)
+    tchar = tchar_ref[:]
+    tlen_row = tlen_ref[0:1, :]
+    qlen_row = qlen_ref[0:1, :]
+    mask_lr = row == tlen_row
+    neg = jnp.full((R1p, LANES), NEG, jnp.int32)
+
+    def border(k):
+        if indel_init:
+            return jnp.where(k >= 1, -w_open - (k - 1) * w_ext, 0)
+        return jnp.int32(0)
+
+    sc_buf[0:1] = jnp.where(row == 0, 0, neg)[None]
+    sc_buf[1:2] = jnp.where(row <= 1, border(jnp.int32(1)), neg)[None]
+    e_ref[:] = neg
+    f_ref[:] = neg
+    qd_ref[:] = jnp.where(row == 0, qpad_ref[0:1, :], 0)
+    best_ref[:] = jnp.full((1, LANES), NEG, jnp.int32)
+
+    def body(d, _):
+        sc_prev = sc_buf[pl.ds((d - 1) % 2, 1)][0]
+        sc_prev2 = sc_buf[pl.ds(d % 2, 1)][0]
+
+        qrow = qpad_ref[pl.ds(d - 1, 1), :]
+        qdiag = jnp.where(row == 0, qrow, pltpu.roll(qd_ref[:], 1, 0))
+        qd_ref[:] = qdiag
+
+        sc_up = pltpu.roll(sc_prev, 1, 0)
+        e_up = pltpu.roll(e_ref[:], 1, 0)
+        e_cur = jnp.maximum(sc_up - w_open, e_up - w_ext)
+        f_cur = jnp.maximum(sc_prev - w_open, f_ref[:] - w_ext)
+
+        sub = jnp.where(qdiag == tchar, w_match, w_mismatch)
+        diag_sc = pltpu.roll(sc_prev2, 1, 0) + sub
+        sc_cur = jnp.maximum(diag_sc, jnp.maximum(e_cur, f_cur))
+
+        boundary = (row == 0) | (row == d)
+        sc_cur = jnp.where(boundary, border(d), sc_cur)
+        e_cur = jnp.where(boundary, NEG, e_cur)
+        f_cur = jnp.where(boundary, NEG, f_cur)
+
+        sc_buf[pl.ds(d % 2, 1)] = sc_cur[None]
+        e_ref[:] = e_cur
+        f_ref[:] = f_cur
+
+        # last-column cell (r = d - qlen, 1 <= r <= tlen) and last-row cell
+        # (r = tlen, 1 <= d - tlen <= qlen), max-reduced per lane
+        r_lc = d - qlen_row
+        lc_mask = (row == r_lc) & (r_lc >= 1) & (r_lc <= tlen_row)
+        c_lr = d - tlen_row
+        lr_mask = mask_lr & (c_lr >= 1) & (c_lr <= qlen_row)
+        cand = jnp.max(jnp.where(lc_mask | lr_mask, sc_cur, NEG),
+                       axis=0, keepdims=True)
+        best_ref[:] = jnp.maximum(best_ref[:], cand)
+        return 0
+
+    jax.lax.fori_loop(2, D, body, 0)
+    score_ref[:] = best_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("indel_init",))
+def sw_pallas_scores(
+    tchar, qpad, tlen, qlen,
+    match, mismatch, gap_open, gap_ext,
+    *,
+    indel_init: bool,
+):
+    """Best-alignment-score-only forward: returns (1, Bp) int32."""
+    R1p, Bp = tchar.shape
+    QP = qpad.shape[0]
+    D = QP + 1
+
+    kernel = functools.partial(_sw_score_kernel, R1p=R1p, D=D,
+                               indel_init=indel_init)
+    col = lambda i: (0, i)
+    scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    score = pl.pallas_call(
+        kernel,
+        grid=(Bp // LANES,),
+        in_specs=[
+            scalar, scalar, scalar, scalar,
+            pl.BlockSpec((R1p, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((QP, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, R1p, LANES), jnp.int32),
+            pltpu.VMEM((R1p, LANES), jnp.int32),
+            pltpu.VMEM((R1p, LANES), jnp.int32),
+            pltpu.VMEM((R1p, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+        ],
+    )(
+        jnp.asarray([[match]], jnp.int32), jnp.asarray([[mismatch]], jnp.int32),
+        jnp.asarray([[gap_open]], jnp.int32), jnp.asarray([[gap_ext]], jnp.int32),
+        tchar, qpad, tlen, qlen,
+    )
+    return score
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("indel_init", "with_traceback"),

@@ -210,17 +210,15 @@ def sw_score_batch(targets: np.ndarray, queries: np.ndarray, params,
 
     use_pallas = (impl if impl != "auto" else _default_impl()) == "pallas"
     if use_pallas:
-        from mgl_tpu.kernels.sw_pallas import prepare_inputs, sw_pallas_forward
+        from mgl_tpu.kernels.sw_pallas import prepare_inputs, sw_pallas_scores
 
         tchar, qp, tl, ql = prepare_inputs(targets.astype(np.int32), tlen,
                                            queries.astype(np.int32), qlen)
-        lc, lr, _ = sw_pallas_forward(
+        score = sw_pallas_scores(
             jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
             jnp.asarray(ql), params.match, params.mismatch,
-            params.gap_open, params.gap_extend,
-            indel_init=False, with_traceback=False)
-        lc = np.asarray(lc)[:, :B]
-        lr = np.asarray(lr)[:, :B]
+            params.gap_open, params.gap_extend, indel_init=False)
+        return np.asarray(score)[0, :B].astype(np.int64)
     else:
         from mgl_tpu.ops.sw import sw_forward
 

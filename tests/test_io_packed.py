@@ -1,0 +1,109 @@
+"""Packed wire format, IO readers, metrics, debug-check tests."""
+
+import gzip
+import pathlib
+
+import numpy as np
+import pytest
+
+from mgl_tpu.batch.packed import (compute_likelihoods_packed, pack_request,
+                                  unpack_request)
+
+from conftest import as_u8, kat_read
+
+REF_BAM = pathlib.Path(
+    "/root/reference/src/test/resources/HiSeq.1mb.1RG.2k_lines.bam")
+
+
+def test_pack_unpack_roundtrip(pairhmm_kat):
+    reads = [kat_read(c) for c in pairhmm_kat[:4]]
+    haps = [as_u8(c["hap"]) for c in pairhmm_kat[:4]]
+    lengths, rbuf, hbuf = pack_request(reads, haps)
+    # layout: [nReads, len..., nHaps, len...]
+    assert lengths[0] == 4 and lengths[5] == 4
+    reads2, haps2 = unpack_request(lengths, rbuf, hbuf)
+    for a, b in zip(reads, reads2):
+        for k in ("bases", "q", "i", "d", "c"):
+            assert np.array_equal(a[k], b[k])
+    for a, b in zip(haps, haps2):
+        assert np.array_equal(a, b)
+
+
+def test_packed_likelihoods_match_engine(pairhmm_kat):
+    cases = pairhmm_kat[:3]
+    reads = [kat_read(c) for c in cases]
+    haps = [as_u8(c["hap"]) for c in cases]
+    lengths, rbuf, hbuf = pack_request(reads, haps)
+    flat = compute_likelihoods_packed(lengths, rbuf, hbuf)
+    assert flat.shape == (9,)
+    for k, c in enumerate(cases):
+        assert abs(flat[k * 3 + k] - c["expected_log10"]) < 1e-5
+
+
+def test_fasta_fastq_roundtrip(tmp_path):
+    from mgl_tpu.io import read_fasta, read_fastq
+
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">chr1 desc\nACGTAC\nGTNN\n>chr2\nTTTT\n")
+    seqs = read_fasta(fa)
+    assert bytes(seqs["chr1"]) == b"ACGTACGTNN"
+    assert bytes(seqs["chr2"]) == b"TTTT"
+
+    fq = tmp_path / "reads.fq.gz"
+    with gzip.open(fq, "wt") as f:
+        f.write("@r1\nACGT\n+\nIIII\n@r2\nGGTT\n+\n!!!!\n")
+    reads = list(read_fastq(fq))
+    assert reads[0][0] == "r1" and bytes(reads[0][1]) == b"ACGT"
+    assert reads[0][2].tolist() == [40] * 4
+    assert reads[1][2].tolist() == [0] * 4
+
+
+@pytest.mark.skipif(not REF_BAM.exists(), reason="reference fixture absent")
+def test_bam_reader_fixture():
+    from mgl_tpu.io.bam import read_bam
+
+    hdr, reads = read_bam(REF_BAM, max_reads=100)
+    assert hdr["refs"][0][0] == "chrM"
+    assert len(reads) == 100
+    for r in reads[:10]:
+        assert len(r["bases"]) == len(r["quals"]) == 101
+        assert set(bytes(r["bases"])) <= set(b"ACGTN=")
+        assert r["cigar"]
+
+
+@pytest.mark.skipif(not REF_BAM.exists(), reason="reference fixture absent")
+def test_bam_reads_through_pairhmm_engine():
+    """Real HiSeq reads through the likelihood engine (fixture the
+    reference ships but never exercises, SURVEY.md §4)."""
+    from mgl_tpu.api import PairHmmEngine
+    from mgl_tpu.io.bam import read_bam
+
+    _, bam = read_bam(REF_BAM, max_reads=4)
+    reads = []
+    for r in bam:
+        n = len(r["bases"])
+        reads.append(dict(
+            bases=r["bases"], q=np.maximum(r["quals"], 6).astype(np.uint8),
+            i=np.full(n, 45, np.uint8), d=np.full(n, 45, np.uint8),
+            c=np.full(n, 10, np.uint8)))
+    # haplotype = first read's bases (perfect match for read 0)
+    out = PairHmmEngine().compute_likelihoods(reads, [bam[0]["bases"]])
+    assert out.shape == (4, 1)
+    assert out[0, 0] == out[:, 0].max()  # self-match wins
+    assert np.all(np.isfinite(out))
+
+
+def test_metrics_and_debug_check(monkeypatch):
+    from mgl_tpu.api import SmithWatermanAligner
+    from mgl_tpu.core.params import OverhangStrategy, SWParameters
+    from mgl_tpu.utils.metrics import METRICS
+
+    monkeypatch.setenv("MGL_TPU_DEBUG_CHECK", "1")
+    METRICS.reset()
+    p = SWParameters(25, -50, 110, 6)
+    res = SmithWatermanAligner().align_batch(
+        [b"ACGTACGTAC"], [b"ACGTACGTAC"], p, OverhangStrategy.SOFTCLIP)
+    assert res[0].cigar == "10M"
+    snap = METRICS.snapshot()
+    assert snap["counters"]["sw.pairs"] == 1
+    assert snap["calls"]["sw.align_batch"] == 1
