@@ -26,7 +26,7 @@ def _sync(x):
     np.asarray(x[:1, :8] if x.ndim >= 2 else x[:1])
 
 
-def bench_sw(B=32768, T=150, Q=150, with_traceback=True, iters=8):
+def bench_sw(B=131072, T=150, Q=150, with_traceback=True, iters=6):
     import jax.numpy as jnp
 
     from mgl_tpu.kernels.sw_pallas import (prepare_inputs, sw_pallas_forward,
@@ -59,7 +59,7 @@ def bench_sw(B=32768, T=150, Q=150, with_traceback=True, iters=8):
     return B * T * Q / best / 1e9, best
 
 
-def bench_pairhmm(B=16384, rdlen=150, haplen=400, iters=4):
+def bench_pairhmm(B=32768, rdlen=150, haplen=400, iters=4):
     import jax.numpy as jnp
 
     from mgl_tpu.kernels.pairhmm_pallas import (pairhmm_pallas_forward,

@@ -84,7 +84,7 @@ def _sw_kernel(
     gh_ref[:] = ones
     qd_ref[:] = jnp.where(row == 0, qpad_ref[0:1, :], 0)
     if with_traceback:
-        pack_ref[:] = jnp.zeros((1, R1p, LANES), jnp.uint32)
+        pack_ref[:] = jnp.zeros((2, R1p, LANES), jnp.uint32)
 
     def body(d, _):
         sc_prev = sc_buf[pl.ds((d - 1) % 2, 1)][0]
@@ -148,28 +148,58 @@ def _sw_kernel(
                    | jnp.where(open_wins_v, 0, 4)
                    | jnp.where(open_wins_h, 0, 8))
             nib = jnp.where(boundary, 0, nib)
-            shift = (jnp.uint32(d - 2) % 8) * 4
-            word = pack_ref[0] | (nib.astype(jnp.uint32) << shift)
-            pack_ref[0:1] = word[None]
-
-            # flush one packed word (8 diagonals) to HBM via DMA
             tile = pl.program_id(0)
+            w = (d - 2) // 8
+            slot = w % 2
 
+            def _dma(word_idx, slot_idx):
+                return pltpu.make_async_copy(
+                    pack_ref.at[pl.ds(slot_idx, 1)],
+                    btr_ref.at[pl.ds(word_idx, 1), :,
+                               pl.ds(tile * LANES, LANES)],
+                    dma_sem.at[slot_idx],
+                )
+
+            # word start: make sure the DMA that last used this slot
+            # (word w-2) has drained, then clear the slot
+            @pl.when(((d - 2) % 8 == 0) & (w >= 2))
+            def _reuse():
+                _dma(w - 2, slot).wait()
+
+            @pl.when((d - 2) % 8 == 0)
+            def _clear():
+                pack_ref[pl.ds(slot, 1)] = jnp.zeros(
+                    (1, R1p, LANES), jnp.uint32)
+
+            shift = (jnp.uint32(d - 2) % 8) * 4
+            word = pack_ref[pl.ds(slot, 1)][0] | (nib.astype(jnp.uint32) << shift)
+            pack_ref[pl.ds(slot, 1)] = word[None]
+
+            # word end: kick the flush asynchronously (double-buffered)
             @pl.when(((d - 2) % 8 == 7) | (d == D - 1))
             def _flush():
-                w = (d - 2) // 8
-                dma = pltpu.make_async_copy(
-                    pack_ref,
-                    btr_ref.at[pl.ds(w, 1), :, pl.ds(tile * LANES, LANES)],
-                    dma_sem,
-                )
-                dma.start()
-                dma.wait()
-                pack_ref[0:1] = jnp.zeros_like(word)[None]
+                _dma(w, slot).start()
 
         return 0
 
     jax.lax.fori_loop(2, D, body, 0)
+
+    if with_traceback:
+        # drain the last (and possibly second-to-last) in-flight flushes
+        tile = pl.program_id(0)
+        n_w = (D - 2 + 7) // 8
+
+        def _dma_static(word_idx):
+            return pltpu.make_async_copy(
+                pack_ref.at[pl.ds(word_idx % 2, 1)],
+                btr_ref.at[pl.ds(word_idx, 1), :,
+                           pl.ds(tile * LANES, LANES)],
+                dma_sem.at[word_idx % 2],
+            )
+
+        _dma_static(n_w - 1).wait()
+        if n_w >= 2:
+            _dma_static(n_w - 2).wait()
 
 
 def _sw_score_kernel(
@@ -351,8 +381,8 @@ def sw_pallas_forward(
     ]
     if with_traceback:
         scratch_shapes += [
-            pltpu.VMEM((1, R1p, LANES), jnp.uint32),  # nibble pack staging
-            pltpu.SemaphoreType.DMA,                   # flush semaphore
+            pltpu.VMEM((2, R1p, LANES), jnp.uint32),  # nibble staging x2
+            pltpu.SemaphoreType.DMA((2,)),             # per-slot flush sems
         ]
 
     outs = pl.pallas_call(
