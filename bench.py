@@ -62,8 +62,8 @@ def bench_sw(B=131072, T=150, Q=150, with_traceback=True, iters=6):
 def bench_pairhmm(B=32768, rdlen=150, haplen=400, iters=4):
     import jax.numpy as jnp
 
-    from mgl_tpu.kernels.pairhmm_pallas import (pairhmm_pallas_forward,
-                                                prepare_inputs)
+    from mgl_tpu.kernels.pairhmm_pallas import (pairhmm_pallas_banded,
+                                                prepare_inputs_banded)
     from mgl_tpu.ops.pairhmm import pack_pairs
 
     rng = np.random.default_rng(1)
@@ -75,12 +75,12 @@ def bench_pairhmm(B=32768, rdlen=150, haplen=400, iters=4):
     haps = [rng.choice(np.frombuffer(b"ACGT", np.uint8), size=haplen)
             for _ in range(min(B, 64))]
     batch = pack_pairs(reads, haps, [(b, b % len(haps)) for b in range(B)])
-    a = prepare_inputs(batch)
+    a = prepare_inputs_banded(batch)
     args = tuple(jnp.asarray(a[k]) for k in
-                 ("hpad", "rchar", "rslen", "haplen", "p_mm", "p_gapm",
-                  "p_mx", "p_my", "p_zz", "dm", "dmm", "y_init"))
+                 ("hap", "rchar", "rslen", "haplen", "pmm_u", "pgapm_u",
+                  "pmx_u", "pzz_u", "p_my", "p_zz", "dm", "dmm", "u0"))
 
-    run = lambda: pairhmm_pallas_forward(*args)
+    run = lambda: pairhmm_pallas_banded(*args)
     _sync(run())
     best = float("inf")
     for _ in range(3):

@@ -2,14 +2,25 @@
 
 Performance path of ops/pairhmm.py — identical recurrence and scaling
 (compute_prob_scalar.cc:39-43 / Context<float>), with all three DP state
-planes (M/X/Y, two-diagonal history each) resident in VMEM:
+planes (M/X/Y, two-diagonal history each) carried in vector registers /
+VMEM by the compiler:
 
 * grid over batch tiles: 128 (read, hap) pairs per tile, one per lane;
 * read rows in sublanes; per-diagonal dependency handled by cross-sublane
   rolls; haplotype characters stream through a rolling diagonal register;
-* per-step work is pure f32 multiply-add (VPU), ~11 flops/cell/lane —
-  the TPU analogue of the reference's 3-FMA AVX cell
-  (compute_prob_avxf.cc:114-156);
+* **boundary-free recurrence**: inputs are laid out so the DP boundary
+  conditions sustain themselves — row 0 carries Y = yInitial because
+  p_zz[0] = 1 and every other transition row 0 is zero; rows beyond the
+  read length stay exactly 0 because their transition rows are zero, and
+  one guaranteed-zero row at the bottom makes the circular cross-sublane
+  roll equivalent to a zero-fill shift.  No per-step masking of row 0 /
+  column 0 is needed (the reference masks implicitly via its 3-phase
+  loop structure, compute_prob_scalar.cc:146-317);
+* bases are one-hot encoded (A=1, C=2, G=4, T=8, N=15) so the
+  match-or-ambiguous test is a single AND + compare — the TPU analogue of
+  ComputeDistm_ps's sign-bit trick (compute_prob_avxf.cc:48-61);
+* rolled copies of each new diagonal are produced once and re-used by both
+  downstream consumers, cutting cross-sublane shifts to 4 per diagonal;
 * the last-row (M+X) contribution is accumulated on the fly, so the only
   output is one f32 score per pair — no DP state ever reaches HBM.
 """
@@ -25,7 +36,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-AMBIG = ord("N")
+
+# one-hot base encoding; anything outside ACGTN never matches
+BASE_ENC = np.zeros(256, np.int32)
+for _ch, _v in ((b"Aa", 1), (b"Cc", 2), (b"Gg", 4), (b"Tt", 8), (b"Nn", 15)):
+    for _c in _ch:
+        BASE_ENC[_c] = _v
 
 
 def _round_up(x: int, m: int) -> int:
@@ -37,9 +53,8 @@ def _pairhmm_kernel(
     p_mm_ref, p_gapm_ref, p_mx_ref, p_my_ref, p_zz_ref,
     dm_ref, dmm_ref, y_init_ref,
     score_ref,
-    m_buf, x_buf, y_buf, hd_ref, acc_ref,
     *,
-    R1p: int, D: int,
+    R1p: int, HP: int, D: int,
 ):
     row = jax.lax.broadcasted_iota(jnp.int32, (R1p, LANES), 0)
     rchar = rchar_ref[:]
@@ -50,73 +65,69 @@ def _pairhmm_kernel(
     rl_row = rslen_ref[0:1, :]
     hl_row = haplen_ref[0:1, :]
     mask_last = row == rl_row
+    row0 = row == 0
 
     zero = jnp.zeros((R1p, LANES), jnp.float32)
-    y0 = jnp.where(row == 0, y_init, 0.0)
-    # diag 0 (slot 0) and diag 1 (slot 1): M=X=0 everywhere; Y=yInit at row 0
-    m_buf[0:1], m_buf[1:2] = zero[None], zero[None]
-    x_buf[0:1], x_buf[1:2] = zero[None], zero[None]
-    y_buf[0:1], y_buf[1:2] = y0[None], y0[None]
-    hd_ref[:] = jnp.where(row == 0, hpad_ref[0:1, :], 0)
-    acc_ref[:] = jnp.zeros((1, LANES), jnp.float32)
+    # diag 0 and diag 1 both have M = X = 0, Y = yInit at row 0.
+    y01 = jnp.where(row0, y_init, 0.0)
+    # rolled (X + Y) of both: yInit shifted to row 1
+    xy_ro_init = jnp.where(row == 1, y_init, 0.0)
+    hd0 = jnp.where(row0, hpad_ref[0:1, :], 0)
+    acc0 = jnp.zeros((1, LANES), jnp.float32)
 
-    def body(d, _):
-        m_prev = m_buf[pl.ds((d - 1) % 2, 1)][0]
-        x_prev = x_buf[pl.ds((d - 1) % 2, 1)][0]
-        y_prev = y_buf[pl.ds((d - 1) % 2, 1)][0]
-        m_prev2 = m_buf[pl.ds(d % 2, 1)][0]
-        x_prev2 = x_buf[pl.ds(d % 2, 1)][0]
-        y_prev2 = y_buf[pl.ds(d % 2, 1)][0]
+    def diag(d, carry):
+        """One anti-diagonal.  carry:
+        m_p, y_p       unrolled M/Y of diag d-1 (for the Y recurrence)
+        m_ro1, x_ro1   rolled M/X of diag d-1 (for the X recurrence)
+        xy_ro1         rolled X+Y of diag d-1 (for the next M recurrence)
+        m_ro2, xy_ro2  rolled M and X+Y of diag d-2 (for the M recurrence)
+        hd             haplotype chars along diag d-1
+        acc            running last-row (M+X) sum
+        """
+        m_p, y_p, m_ro1, x_ro1, xy_ro1, m_ro2, xy_ro2, hd, acc = carry
 
-        hrow = hpad_ref[pl.ds(d - 1, 1), :]
-        hapdiag = jnp.where(row == 0, hrow, pltpu.roll(hd_ref[:], 1, 0))
-        hd_ref[:] = hapdiag
+        hrow = hpad_ref[pl.ds(jnp.minimum(d - 1, HP - 1), 1), :]
+        hd = jnp.where(row0, hrow, pltpu.roll(hd, 1, 0))
 
-        is_match = (rchar == hapdiag) | (rchar == AMBIG) | (hapdiag == AMBIG)
-        distm = jnp.where(is_match, dm, dmm)
+        distm = jnp.where((rchar & hd) != 0, dm, dmm)
+        m_cur = distm * (m_ro2 * p_mm + xy_ro2 * p_gapm)
+        y_cur = m_p * p_my + y_p * p_zz
+        x_cur = m_ro1 * p_mx + x_ro1 * p_zz
 
-        m_d2 = pltpu.roll(m_prev2, 1, 0)
-        x_d2 = pltpu.roll(x_prev2, 1, 0)
-        y_d2 = pltpu.roll(y_prev2, 1, 0)
-        m_cur = distm * (m_d2 * p_mm + (x_d2 + y_d2) * p_gapm)
-
-        y_cur = m_prev * p_my + y_prev * p_zz
-
-        m_d1 = pltpu.roll(m_prev, 1, 0)
-        x_d1 = pltpu.roll(x_prev, 1, 0)
-        x_cur = m_d1 * p_mx + x_d1 * p_zz
-
-        row0 = row == 0
-        col0 = row == d
-        bz = row0 | col0
-        m_cur = jnp.where(bz, 0.0, m_cur)
-        x_cur = jnp.where(bz, 0.0, x_cur)
-        y_cur = jnp.where(col0, 0.0, jnp.where(row0, y_init, y_cur))
-
-        m_buf[pl.ds(d % 2, 1)] = m_cur[None]
-        x_buf[pl.ds(d % 2, 1)] = x_cur[None]
-        y_buf[pl.ds(d % 2, 1)] = y_cur[None]
-
-        # last-row contribution: cell (rslen, c=d-rslen), valid 1 <= c <= haplen
+        # last-row contribution: cell (rslen, c=d-rslen), valid 1<=c<=haplen
         contrib = jnp.sum(jnp.where(mask_last, m_cur + x_cur, 0.0),
                           axis=0, keepdims=True)
         c = d - rl_row
         lane_valid = (c >= 1) & (c <= hl_row)
-        acc_ref[:] = acc_ref[:] + jnp.where(lane_valid, contrib, 0.0)
-        return 0
+        acc = acc + jnp.where(lane_valid, contrib, 0.0)
 
-    jax.lax.fori_loop(2, D, body, 0)
-    score_ref[:] = acc_ref[:]
+        m_ro = pltpu.roll(m_cur, 1, 0)
+        x_ro = pltpu.roll(x_cur, 1, 0)
+        xy_ro = pltpu.roll(x_cur + y_cur, 1, 0)
+        return (m_cur, y_cur, m_ro, x_ro, xy_ro, m_ro1, xy_ro1, hd, acc)
+
+    carry0 = (zero, y01, zero, zero, xy_ro_init, zero, xy_ro_init, hd0, acc0)
+
+    n2 = (D - 2 + 1) // 2
+
+    def body2(k, carry):
+        d = 2 + 2 * k
+        carry = diag(d, carry)
+        carry = diag(d + 1, carry)
+        return carry
+
+    final = jax.lax.fori_loop(0, n2, body2, carry0)
+    score_ref[:] = final[-1]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=())
 def pairhmm_pallas_forward(
-    hpad,      # (HP, Bp) int32 hap chars, HP >= R1p + H
-    rchar,     # (R1p, Bp) int32 read chars per row (row 0 unused)
+    hpad,      # (HP, Bp) int32 one-hot hap chars, HP >= R1p + H
+    rchar,     # (R1p, Bp) int32 one-hot read chars per row (row 0 unused)
     rslen,     # (1, Bp) int32
     haplen,    # (1, Bp) int32
-    p_mm, p_gapm, p_mx, p_my, p_zz,   # (R1p, Bp) f32
-    dm, dmm,   # (R1p, Bp) f32 emission rows
+    p_mm, p_gapm, p_mx, p_my, p_zz,   # (R1p, Bp) f32; row 0 = (0,0,0,0,1)
+    dm, dmm,   # (R1p, Bp) f32 emission rows, row 0 = 0
     y_init,    # (1, Bp) f32
 ):
     """Returns (1, Bp) f32 INITIAL_CONSTANT-scaled scores."""
@@ -125,7 +136,7 @@ def pairhmm_pallas_forward(
     D = HP + 1
 
     grid = (Bp // LANES,)
-    kernel = functools.partial(_pairhmm_kernel, R1p=R1p, D=D)
+    kernel = functools.partial(_pairhmm_kernel, R1p=R1p, HP=HP, D=D)
 
     def col(i):
         return (0, i)
@@ -143,57 +154,286 @@ def pairhmm_pallas_forward(
         ],
         out_specs=pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, R1p, LANES), jnp.float32),   # M ping-pong
-            pltpu.VMEM((2, R1p, LANES), jnp.float32),   # X
-            pltpu.VMEM((2, R1p, LANES), jnp.float32),   # Y
-            pltpu.VMEM((R1p, LANES), jnp.int32),        # hap diagonal
-            pltpu.VMEM((1, LANES), jnp.float32),        # accumulator
-        ],
     )(hpad, rchar, rslen, haplen, p_mm, p_gapm, p_mx, p_my, p_zz, dm, dmm, y_init)
     return score
 
 
+def _pairhmm_banded_kernel(
+    hap_ref, rchar_ref, rslen_ref, haplen_ref,
+    pmm_u_ref, pgapm_u_ref, pmx_u_ref, pzz_u_ref,
+    p_my_ref, p_zz_ref,
+    dm_ref, dmm_ref, u0_ref,
+    score_ref,
+    carry_ref,                 # scratch (2, 2, Hcp, LANES) f32: U / W
+    *,
+    BH: int, NB: int, NT: int, Hcp: int, HR: int,
+):
+    """Banded staggered wavefront (the TPU re-derivation of the reference's
+    band sweep, compute_prob_avxf.cc:382-607, with pairs in lanes instead of
+    read rows):
+
+    * each band covers BH read rows in sublanes; within a band, step t has
+      sublane s at matrix column c = t - s + 1 (a diagonal wavefront), so
+      the row-above dependency is a one-sublane roll of the previous step;
+    * instead of carrying raw M/X/Y, each step pre-multiplies the *next*
+      row's transition coefficients into two combined streams
+         U(r,c) = M(r,c)*pMM[r+1] + (X(r,c)+Y(r,c))*pGapM[r+1]
+         W(r,c) = M(r,c)*pMX[r+1] +  X(r,c)        *pZZ[r+1]
+      so the consumers collapse to M = distm * U_shifted and
+      X = W_shifted (free), and only two planes roll / cross bands;
+    * all DP state for a band lives in vector registers across the column
+      sweep — one (U, W) row per column crosses bands through a
+      double-buffered VMEM carry array (the analogue of the reference's
+      inter-band score/step arrays, sw_avx.cpp:37-49);
+    * transition/emission rows are loaded once per band and stay resident;
+    * boundary conditions enter through the carry prefill: band 0 reads
+      U = yInit*pGapM[1], W = 0 at every column (row-0 semantics).
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (BH, LANES), 0)
+    row0 = row == 0
+    rsl_row = rslen_ref[0:1, :]
+    hl_row = haplen_ref[0:1, :]
+    u0 = u0_ref[0:1, :]                  # yInit * pGapM[1]
+    TRASH = Hcp - 1
+
+    # prefill band-0 read buffer: U = u0, W = 0 (row-0 boundary);
+    # write buffer: zeros (column-0 boundary for rows >= 1)
+    carry_ref[0:1, 0:1] = jnp.broadcast_to(u0, (Hcp, LANES))[None, None]
+    carry_ref[0:1, 1:2] = jnp.zeros((1, 1, Hcp, LANES), jnp.float32)
+    carry_ref[1:2] = jnp.zeros((1, 2, Hcp, LANES), jnp.float32)
+
+    def band(b, acc):
+        r = pl.ds(b * BH, BH)
+        rch = rchar_ref[r]
+        pmm_u, pgapm_u = pmm_u_ref[r], pgapm_u_ref[r]
+        pmx_u, pzz_u = pmx_u_ref[r], pzz_u_ref[r]
+        pmy, pzz = p_my_ref[r], p_zz_ref[r]
+        dmb, dmmb = dm_ref[r], dmm_ref[r]
+        mask_last = (row + b * BH + 1) == rsl_row
+        rd = b % 2
+        wr = (b + 1) % 2
+
+        def cread(plane, idx):
+            return carry_ref[pl.ds(rd, 1), pl.ds(plane, 1),
+                             pl.ds(idx, 1)][0, 0]
+
+        zero = dmb * 0.0                 # non-replicated zero plane
+        # U(r0-1, col 0): band 0 = u0 (Y(0,0)=yInit), else 0
+        u_pp = jnp.where(row0, jnp.where(b == 0, u0, 0.0), zero)
+        u_p = jnp.where(row0, cread(0, 1), zero)
+        w_p = jnp.where(row0, cread(1, 1), zero)
+        m_un, y_un = zero, zero
+        hd = jnp.where(row0, hap_ref[0:1, :], 0)
+
+        def step(t, carry):
+            m_un, y_un, w_p, u_p, u_pp, hd, acc = carry
+
+            distm = jnp.where((rch & hd) != 0, dmb, dmmb)
+            m_cur = distm * u_pp
+            x_cur = w_p
+            y_cur = m_un * pmy + y_un * pzz
+
+            # last-row contribution (only the band containing rslen has a
+            # nonempty mask); column at that sublane: t + b*BH + 2 - rslen
+            contrib = jnp.sum(jnp.where(mask_last, m_cur + x_cur, 0.0),
+                              axis=0, keepdims=True)
+            c = t + b * BH + 2 - rsl_row
+            valid = (c >= 1) & (c <= hl_row)
+            acc = acc + jnp.where(valid, contrib, 0.0)
+
+            u = m_cur * pmm_u + (x_cur + y_cur) * pgapm_u
+            w = m_cur * pmx_u + x_cur * pzz_u
+            u_sh = pltpu.roll(u, 1, 0)
+            w_sh = pltpu.roll(w, 1, 0)
+
+            # band's bottom row (wrapped into sublane 0) -> carry out
+            st = t - BH + 2
+            st = jnp.where(st >= 1, st, TRASH)
+            carry_ref[pl.ds(wr, 1), 0:1, pl.ds(st, 1)] = u_sh[0:1][None, None]
+            carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = w_sh[0:1][None, None]
+
+            # carry in: the row above the band at column t+2
+            ld = jnp.minimum(t + 2, Hcp - 1)
+            u_sh = jnp.where(row0, cread(0, ld), u_sh)
+            w_sh = jnp.where(row0, cread(1, ld), w_sh)
+
+            hrow = hap_ref[pl.ds(jnp.minimum(t + 1, HR - 1), 1), :]
+            hd = jnp.where(row0, hrow, pltpu.roll(hd, 1, 0))
+
+            return (m_cur, y_cur, w_sh, u_sh, u_p, hd, acc)
+
+        carry = (m_un, y_un, w_p, u_p, u_pp, hd, acc)
+        carry = jax.lax.fori_loop(0, NT, step, carry)
+        return carry[-1]
+
+    acc = jax.lax.fori_loop(0, NB, band,
+                            jnp.zeros((1, LANES), jnp.float32))
+    score_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def pairhmm_pallas_banded(
+    hap,       # (HR, Bp) int32 one-hot hap chars (row t = hap base t)
+    rchar,     # (Rb, Bp) int32 one-hot read chars (row k = read base k+1)
+    rslen,     # (1, Bp) int32
+    haplen,    # (1, Bp) int32
+    pmm_u, pgapm_u, pmx_u, pzz_u,   # (Rb, Bp) f32 (row k = matrix row k+2)
+    p_my, p_zz,                      # (Rb, Bp) f32 (row k = matrix row k+1)
+    dm, dmm,   # (Rb, Bp) f32 emissions (row k = matrix row k+1)
+    u0,        # (1, Bp) f32: yInit * pGapM[1]
+    *,
+    band: int = 32,
+):
+    """Banded-wavefront forward.  Returns (1, Bp) f32 scaled scores."""
+    Rb, Bp = rchar.shape
+    HR = hap.shape[0]
+    BH = band
+    NB = Rb // BH
+    H = HR - BH                        # prepare pads hap rows to H + BH
+    NT = H + BH - 1
+    Hcp = _round_up(H + BH + 4, 8)
+
+    grid = (Bp // LANES,)
+    kernel = functools.partial(_pairhmm_banded_kernel, BH=BH, NB=NB, NT=NT,
+                               Hcp=Hcp, HR=HR)
+
+    def col(i):
+        return (0, i)
+
+    vm = lambda shape: pl.BlockSpec(shape, col, memory_space=pltpu.VMEM)
+
+    score = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            vm((HR, LANES)), vm((Rb, LANES)), vm((1, LANES)), vm((1, LANES)),
+            vm((Rb, LANES)), vm((Rb, LANES)), vm((Rb, LANES)), vm((Rb, LANES)),
+            vm((Rb, LANES)), vm((Rb, LANES)),
+            vm((Rb, LANES)), vm((Rb, LANES)), vm((1, LANES)),
+        ],
+        out_specs=pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, Hcp, LANES), jnp.float32),
+        ],
+    )(hap, rchar, rslen, haplen, pmm_u, pgapm_u, pmx_u, pzz_u,
+      p_my, p_zz, dm, dmm, u0)
+    return score
+
+
+def prepare_inputs_banded(batch, band: int = 32):
+    """PairHMMBatch -> lane-major arrays for pairhmm_pallas_banded.
+
+    Row k of p_my/p_zz/dm/dmm/rchar is matrix row k+1 (the unused row 0 is
+    dropped so band slices stay 8-aligned); the *_u coefficient arrays are
+    shifted one further (row k = matrix row k+2, zero-padded past the read)
+    so the kernel's pre-multiplied U/W streams use the next row's
+    transitions.
+    """
+    B, R = batch.rchar.shape          # R = rmax + 1 (row 0 unused)
+    H = batch.hap.shape[1]
+    Bp = _round_up(max(B, 1), LANES)
+    Rb = _round_up(R - 1, band)
+    HR = H + band                      # hap rows incl. ramp slack
+
+    def pad_rows(a, rows, dtype, drop: int = 0):
+        src = a.T[drop:]
+        out = np.zeros((rows, Bp), dtype)
+        out[: src.shape[0], :B] = src
+        return out
+
+    u0 = (batch.y_init * batch.p_gapm[:, 1]).astype(np.float32)
+    args = dict(
+        hap=pad_rows(BASE_ENC[batch.hap], HR, np.int32),
+        rchar=pad_rows(BASE_ENC[batch.rchar], Rb, np.int32, drop=1),
+        rslen=pad_rows(batch.rslen[:, None], 1, np.int32),
+        haplen=np.maximum(pad_rows(batch.haplen[:, None], 1, np.int32), 1),
+        pmm_u=pad_rows(batch.p_mm, Rb, np.float32, drop=2),
+        pgapm_u=pad_rows(batch.p_gapm, Rb, np.float32, drop=2),
+        pmx_u=pad_rows(batch.p_mx, Rb, np.float32, drop=2),
+        pzz_u=pad_rows(batch.p_zz, Rb, np.float32, drop=2),
+        p_my=pad_rows(batch.p_my, Rb, np.float32, drop=1),
+        p_zz=pad_rows(batch.p_zz, Rb, np.float32, drop=1),
+        dm=pad_rows(batch.distm_match, Rb, np.float32, drop=1),
+        dmm=pad_rows(batch.distm_mis, Rb, np.float32, drop=1),
+        u0=pad_rows(u0[:, None], 1, np.float32),
+    )
+    return args
+
+
+def forward_scores_banded(batch, band: int = 32) -> np.ndarray:
+    """Host convenience: PairHMMBatch -> (B,) f32 scaled scores (banded)."""
+    import jax.numpy as jnp
+
+    B = batch.rchar.shape[0]
+    a = prepare_inputs_banded(batch, band=band)
+    keys = ("hap", "rchar", "rslen", "haplen", "pmm_u", "pgapm_u", "pmx_u",
+            "pzz_u", "p_my", "p_zz", "dm", "dmm", "u0")
+    score = pairhmm_pallas_banded(
+        *(jnp.asarray(a[k]) for k in keys), band=band)
+    return np.asarray(score)[0, :B]
+
+
 def prepare_inputs(batch):
     """Transpose a PairHMMBatch (ops/pairhmm.py) into lane-major padded
-    arrays for pairhmm_pallas_forward."""
+    arrays for pairhmm_pallas_forward.
+
+    Boundary-free layout invariants (see kernel docstring):
+      * R1p >= rmax + 2 so the bottom row is zero for every lane;
+      * transition row 0 is (p_mm,p_gapm,p_mx,p_my,p_zz) = (0,0,0,0,1)
+        and emission row 0 is 0;
+      * bases one-hot encoded so pads (0) never match.
+    """
     B, R = batch.rchar.shape
     H = batch.hap.shape[1]
     Bp = _round_up(max(B, 1), LANES)
-    R1p = _round_up(R, 8)
+    R1p = _round_up(R + 1, 8)
     HP = _round_up(R1p + H + 1, 8)
-
-    def t2(a, dtype):
-        out = np.zeros((a.shape[1], Bp), dtype)
-        out[: a.shape[1], :B] = a.T
-        return out
 
     def pad_rows(a, rows, dtype):
         out = np.zeros((rows, Bp), dtype)
         out[: a.shape[1], :B] = a.T
         return out
 
-    hpad = pad_rows(batch.hap, HP, np.int32)
-    rchar = pad_rows(batch.rchar, R1p, np.int32)
+    hpad = pad_rows(BASE_ENC[batch.hap], HP, np.int32)
+    rchar = pad_rows(BASE_ENC[batch.rchar], R1p, np.int32)
+
+    p_mm = pad_rows(batch.p_mm, R1p, np.float32)
+    p_gapm = pad_rows(batch.p_gapm, R1p, np.float32)
+    p_mx = pad_rows(batch.p_mx, R1p, np.float32)
+    p_my = pad_rows(batch.p_my, R1p, np.float32)
+    p_zz = pad_rows(batch.p_zz, R1p, np.float32)
+    dm = pad_rows(batch.distm_match, R1p, np.float32)
+    dmm = pad_rows(batch.distm_mis, R1p, np.float32)
+    for a in (p_mm, p_gapm, p_mx, p_my, dm, dmm):
+        a[0, :] = 0.0
+    p_zz[0, :] = 1.0
+
     args = dict(
         hpad=hpad,
         rchar=rchar,
         rslen=pad_rows(batch.rslen[:, None], 1, np.int32),
         haplen=np.maximum(pad_rows(batch.haplen[:, None], 1, np.int32), 1),
-        p_mm=pad_rows(batch.p_mm, R1p, np.float32),
-        p_gapm=pad_rows(batch.p_gapm, R1p, np.float32),
-        p_mx=pad_rows(batch.p_mx, R1p, np.float32),
-        p_my=pad_rows(batch.p_my, R1p, np.float32),
-        p_zz=pad_rows(batch.p_zz, R1p, np.float32),
-        dm=pad_rows(batch.distm_match, R1p, np.float32),
-        dmm=pad_rows(batch.distm_mis, R1p, np.float32),
+        p_mm=p_mm, p_gapm=p_gapm, p_mx=p_mx, p_my=p_my, p_zz=p_zz,
+        dm=dm, dmm=dmm,
         y_init=pad_rows(batch.y_init[:, None], 1, np.float32),
     )
     return args
 
 
 def forward_scores(batch) -> np.ndarray:
-    """Host convenience: PairHMMBatch -> (B,) f32 scaled scores."""
+    """Host convenience: PairHMMBatch -> (B,) f32 scaled scores.
+
+    Uses the banded kernel (the fastest path); forward_scores_plane keeps
+    the full-height wavefront variant callable for comparison.
+    """
+    return forward_scores_banded(batch)
+
+
+def forward_scores_plane(batch) -> np.ndarray:
+    """PairHMMBatch -> (B,) f32 scores via the full-height plane kernel."""
+    import jax.numpy as jnp
+
     B = batch.rchar.shape[0]
     args = prepare_inputs(batch)
     score = pairhmm_pallas_forward(

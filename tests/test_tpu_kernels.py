@@ -1,0 +1,121 @@
+"""TPU hardware parity tests for the Pallas kernels.
+
+These run only with MGL_TPU_TEST_TPU=1 on a machine with a real TPU
+(conftest otherwise forces the CPU backend, where the Mosaic kernels
+cannot execute).  They assert the device kernels reproduce the lax.scan
+fallbacks — which the rest of the suite pins to the reference golden
+vectors — bit-for-bit (PairHMM f32) / exactly (SW int32).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    os.environ.get("MGL_TPU_TEST_TPU") != "1",
+    reason="needs real TPU (set MGL_TPU_TEST_TPU=1)",
+)
+pytestmark = [pytest.mark.tpu, requires_tpu]
+
+
+@pytest.fixture(scope="module")
+def tpu_backend():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend")
+    return jax.default_backend()
+
+
+def _random_pairs(B=257, seed=42):
+    rng = np.random.default_rng(seed)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    reads, haps, pairs = [], [], []
+    for b in range(B):
+        n = int(rng.integers(1, 120))
+        h = int(rng.integers(1, 300))
+        bases = rng.choice(alpha, size=n, p=[.24, .24, .24, .24, .04])
+        q = rng.integers(6, 50, size=n).astype(np.uint8)
+        reads.append(dict(bases=bases, q=q, i=q, d=q,
+                          c=np.full(n, 10, np.uint8)))
+        haps.append(rng.choice(alpha[:4], size=h))
+        pairs.append((b, b))
+    return reads, haps, pairs
+
+
+def test_pairhmm_banded_bit_identical(tpu_backend):
+    from mgl_tpu.kernels.pairhmm_pallas import forward_scores_banded
+    from mgl_tpu.ops.pairhmm import forward_scores_xla, pack_pairs
+
+    reads, haps, pairs = _random_pairs()
+    batch = pack_pairs(reads, haps, pairs)
+    ref = forward_scores_xla(batch)
+    for band in (16, 32):
+        got = forward_scores_banded(batch, band=band)
+        assert np.array_equal(got, ref), f"band={band} diverged"
+
+
+def test_pairhmm_plane_bit_identical(tpu_backend):
+    from mgl_tpu.kernels.pairhmm_pallas import forward_scores_plane
+    from mgl_tpu.ops.pairhmm import forward_scores_xla, pack_pairs
+
+    reads, haps, pairs = _random_pairs(seed=7)
+    batch = pack_pairs(reads, haps, pairs)
+    assert np.array_equal(forward_scores_plane(batch),
+                          forward_scores_xla(batch))
+
+
+def test_pairhmm_kat_through_engine(tpu_backend, pairhmm_kat):
+    """105 reference known-answer cases through the full device cascade."""
+    from mgl_tpu.api import PairHmmEngine
+    from tests.conftest import kat_read
+
+    eng = PairHmmEngine(impl="pallas")
+    reads = [kat_read(c) for c in pairhmm_kat]
+    for k, case in enumerate(pairhmm_kat):
+        lik = eng.compute_likelihoods([reads[k]], [case["hap"].encode()])
+        assert abs(lik[0, 0] - case["expected_log10"]) < 1e-5, case
+
+
+def test_sw_pallas_golden_cigars(tpu_backend, sw_golden):
+    """Pallas SW must emit the reference CIGAR/offset exactly."""
+    from mgl_tpu.core.params import OverhangStrategy, SWParameters
+    from mgl_tpu.kernels.sw_pallas import align_batch
+
+    cases = sw_golden[:400]
+    by_key = {}
+    for c in cases:
+        key = (c["match"], c["mismatch"], c["open"], c["ext"], c["strategy"])
+        by_key.setdefault(key, []).append(c)
+    for (m, x, o, e, strategy), cs in by_key.items():
+        got = align_batch([c["target"].encode() for c in cs],
+                          [c["query"].encode() for c in cs],
+                          SWParameters.normalized(m, x, o, e),
+                          OverhangStrategy(strategy))
+        for c, (cig, off) in zip(cs, got):
+            assert cig == c["cigar_scalar"] and off == c["offset_scalar"], c
+
+
+def test_sw_pallas_scores_match_forward(tpu_backend):
+    from mgl_tpu.kernels.sw_pallas import (prepare_inputs, sw_pallas_forward,
+                                           sw_pallas_scores)
+    from mgl_tpu.ops.sw import compute_score_max
+
+    rng = np.random.default_rng(3)
+    B, T, Q = 256, 90, 80
+    tbuf = rng.integers(65, 69, size=(B, T)).astype(np.int32)
+    qbuf = rng.integers(65, 69, size=(B, Q)).astype(np.int32)
+    tlen = rng.integers(10, T + 1, size=B).astype(np.int32)
+    qlen = rng.integers(10, Q + 1, size=B).astype(np.int32)
+    import jax.numpy as jnp
+
+    tchar, qp, tl, ql = prepare_inputs(tbuf, tlen, qbuf, qlen)
+    args = (jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
+            jnp.asarray(ql), 25, -50, 110, 6)
+    lc, lr, _ = sw_pallas_forward(*args, indel_init=False,
+                                  with_traceback=False)
+    ez = compute_score_max(np.asarray(lc)[:, :B], np.asarray(lr)[:, :B],
+                           tlen, qlen)
+    scores = np.asarray(sw_pallas_scores(*args, indel_init=False))[0, :B]
+    assert np.array_equal(scores, ez["max"]), "score-only kernel diverged"
