@@ -48,12 +48,12 @@ def _sw_kernel(
      tchar_ref, qpad_ref, tlen_ref, qlen_ref) = refs[:8]
     if with_traceback:
         lc_ref, lr_ref, btr_ref = refs[8:11]
-        (sc_buf, e_ref, f_ref, gv_ref, gh_ref, qd_ref,
+        (sc_buf, e_ref, f_ref, qd_ref,
          pack_ref, dma_sem) = refs[11:]
     else:
         lc_ref, lr_ref = refs[8:10]
         btr_ref = None
-        sc_buf, e_ref, f_ref, gv_ref, gh_ref, qd_ref = refs[10:]
+        sc_buf, e_ref, f_ref, qd_ref = refs[10:]
         pack_ref = dma_sem = None
     w_match = mt_ref[0, 0]
     w_mismatch = mm_ref[0, 0]
@@ -66,7 +66,6 @@ def _sw_kernel(
     qlen_row = qlen_ref[0:1, :]
     mask_lr = row == tlen_row
     neg = jnp.full((R1p, LANES), NEG, jnp.int32)
-    ones = jnp.ones((R1p, LANES), jnp.int32)
 
     def border(k):
         # first-row/column init (sw.cpp:29-40); k is a traced scalar
@@ -80,8 +79,6 @@ def _sw_kernel(
     sc_buf[1:2] = jnp.where(row <= 1, b1, neg)[None]
     e_ref[:] = neg
     f_ref[:] = neg
-    gv_ref[:] = ones
-    gh_ref[:] = ones
     qd_ref[:] = jnp.where(row == 0, qpad_ref[0:1, :], 0)
     if with_traceback:
         pack_ref[:] = jnp.zeros((2, R1p, LANES), jnp.uint32)
@@ -97,19 +94,16 @@ def _sw_kernel(
         # E (vertical / DEL): from element r-1 of diag d-1
         sc_up = pltpu.roll(sc_prev, 1, 0)
         e_up = pltpu.roll(e_ref[:], 1, 0)
-        gv_up = pltpu.roll(gv_ref[:], 1, 0)
         open_v = sc_up - w_open
         ext_v = e_up - w_ext
         open_wins_v = open_v > ext_v               # strict > (sw.cpp:73)
         e_cur = jnp.where(open_wins_v, open_v, ext_v)
-        gv_cur = jnp.where(open_wins_v, 1, gv_up + 1)
 
         # F (horizontal / INS): from element r of diag d-1
         open_h = sc_prev - w_open
         ext_h = f_ref[:] - w_ext
         open_wins_h = open_h > ext_h               # strict > (sw.cpp:84)
         f_cur = jnp.where(open_wins_h, open_h, ext_h)
-        gh_cur = jnp.where(open_wins_h, 1, gh_ref[:] + 1)
 
         sub = jnp.where(qdiag == tchar, w_match, w_mismatch)
         diag_sc = pltpu.roll(sc_prev2, 1, 0) + sub
@@ -124,14 +118,10 @@ def _sw_kernel(
         sc_cur = jnp.where(boundary, bval, sc_cur)
         e_cur = jnp.where(boundary, NEG, e_cur)
         f_cur = jnp.where(boundary, NEG, f_cur)
-        gv_cur = jnp.where(boundary, 1, gv_cur)
-        gh_cur = jnp.where(boundary, 1, gh_cur)
 
         sc_buf[pl.ds(d % 2, 1)] = sc_cur[None]
         e_ref[:] = e_cur
         f_ref[:] = f_cur
-        gv_ref[:] = gv_cur
-        gh_ref[:] = gh_cur
 
         # ScoreMax samples: select-and-reduce instead of cross-sublane gather
         lc_mask = row == (d - qlen_row)
@@ -375,8 +365,6 @@ def sw_pallas_forward(
         pltpu.VMEM((2, R1p, LANES), jnp.int32),   # sc ping-pong
         pltpu.VMEM((R1p, LANES), jnp.int32),      # E
         pltpu.VMEM((R1p, LANES), jnp.int32),      # F
-        pltpu.VMEM((R1p, LANES), jnp.int32),      # gap_v
-        pltpu.VMEM((R1p, LANES), jnp.int32),      # gap_h
         pltpu.VMEM((R1p, LANES), jnp.int32),      # qdiag
     ]
     if with_traceback:
