@@ -66,6 +66,45 @@ class PairHMMBatch(NamedTuple):
     y_init: np.ndarray       # (B,) f32: 2^120 / haplen
 
 
+def compute_haplotype_similarities(
+    haps: list[np.ndarray],
+) -> tuple[np.ndarray, int, int]:
+    """Shared-prefix structure of consecutive haplotypes.
+
+    Re-derivation of the reference's computeHaplotypeSimilarities
+    (pairhmm_common.cc:3-63): position[j] is the even-rounded length of the
+    prefix hap[j] shares with hap[j-1], reset to 0 when the predecessor is
+    shorter than 8 bases or shares less than its own recorded prefix; also
+    returns (cols_min, cols_max) over haplotype lengths.
+
+    The reference uses position[] to resume each haplotype's DP from a
+    cached column state (compute_prob_avxf.cc:943-967).  The TPU batch
+    design makes per-column resumption unnecessary — every (read, hap)
+    pair rides its own VPU lane — so here the structure instead powers
+    exact-duplicate haplotype deduplication in compute_likelihoods (a full
+    R x H product computes each distinct haplotype once per read).
+    """
+    n = len(haps)
+    positions = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return positions, 0, 0
+    cols_min = cols_max = len(haps[0])
+    for j in range(1, n):
+        prev, cur = np.asarray(haps[j - 1]), np.asarray(haps[j])
+        pos = 0
+        if len(prev) >= 8:
+            common = min(len(prev), len(cur))
+            neq = np.nonzero(prev[:common] != cur[:common])[0]
+            pos = int(neq[0]) if neq.size else common
+            pos -= pos % 2
+            if pos < positions[j - 1]:
+                pos = 0
+        positions[j] = pos
+        cols_min = min(cols_min, len(cur))
+        cols_max = max(cols_max, len(cur))
+    return positions, cols_min, cols_max
+
+
 def pack_pairs(
     reads: list[dict],
     haps: list[np.ndarray],
@@ -257,6 +296,30 @@ def compute_likelihoods(
 
     n_r, n_h = len(reads), len(haps)
     out = np.zeros((n_r, n_h), dtype=np.float64)
+
+    # exact-duplicate haplotype dedup (the TPU-shaped payoff of the
+    # reference's haplotype-similarity pass, see
+    # compute_haplotype_similarities): identical haplotypes score
+    # identically against every read, so compute each distinct one once.
+    canon: dict[bytes, int] = {}
+    hap_to_canon = np.empty(n_h, dtype=np.int64)
+    uniq_idx: list[int] = []
+    for hi, hp in enumerate(haps):
+        key = np.asarray(hp).tobytes()
+        if key in canon:
+            hap_to_canon[hi] = canon[key]
+        else:
+            canon[key] = hi
+            hap_to_canon[hi] = hi
+            uniq_idx.append(hi)
+    if len(uniq_idx) < n_h:
+        sub = compute_likelihoods([reads[r] for r in range(n_r)],
+                                  [haps[h] for h in uniq_idx],
+                                  use_double, use_fast_path, impl)
+        col_of = {hi: k for k, hi in enumerate(uniq_idx)}
+        for hi in range(n_h):
+            out[:, hi] = sub[:, col_of[int(hap_to_canon[hi])]]
+        return out
 
     pair_index = [(ri, hi) for ri in range(n_r) for hi in range(n_h)]
     fast_hit: dict[int, float] = {}

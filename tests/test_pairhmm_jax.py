@@ -87,3 +87,43 @@ def test_engine_validation():
             [dict(bases=b"ACGT", q=[30, 30], i=[30] * 4, d=[30] * 4, c=[10] * 4)],
             [b"ACGT"],
         )
+
+
+def test_haplotype_similarities_reference_semantics():
+    from mgl_tpu.ops.pairhmm import compute_haplotype_similarities
+
+    u8 = lambda s: np.frombuffer(s, np.uint8)
+    # identical consecutive haps share their full (even) length
+    pos, cmin, cmax = compute_haplotype_similarities(
+        [u8(b"ACGTACGT"), u8(b"ACGTACGT")])
+    assert list(pos) == [0, 8] and (cmin, cmax) == (8, 8)
+    # predecessor shorter than 8 bases -> no sharing recorded
+    pos, _, _ = compute_haplotype_similarities([u8(b"ACGTACG"), u8(b"ACGTACG")])
+    assert list(pos) == [0, 0]
+    # divergence at an odd position rounds down to even
+    pos, _, _ = compute_haplotype_similarities(
+        [u8(b"ACGTACGTA"), u8(b"ACGTATTTT")])
+    assert list(pos) == [0, 4]
+    # sharing less than the predecessor's own prefix resets to 0
+    pos, cmin, cmax = compute_haplotype_similarities(
+        [u8(b"A" * 16), u8(b"A" * 16), u8(b"AA" + b"C" * 14)])
+    assert list(pos) == [0, 16, 0]
+    assert (cmin, cmax) == (16, 16)
+    pos, cmin, cmax = compute_haplotype_similarities([])
+    assert len(pos) == 0 and (cmin, cmax) == (0, 0)
+
+
+def test_duplicate_hap_dedup_matches_full_product(pairhmm_kat):
+    cases = pairhmm_kat[:4]
+    reads = [kat_read(c) for c in cases]
+    haps = [as_u8(cases[0]["hap"]), as_u8(cases[1]["hap"]),
+            as_u8(cases[0]["hap"]), as_u8(cases[0]["hap"])]
+    eng = PairHmmEngine()
+    out = eng.compute_likelihoods(reads, haps)
+    assert out.shape == (4, 4)
+    # duplicate columns are bit-identical copies of the canonical one
+    assert np.array_equal(out[:, 2], out[:, 0])
+    assert np.array_equal(out[:, 3], out[:, 0])
+    # and the deduped product equals a from-scratch two-hap product
+    ref = eng.compute_likelihoods(reads, haps[:2])
+    assert np.array_equal(out[:, :2], ref)
