@@ -1,0 +1,184 @@
+"""Scale runs for BASELINE.json configs 4 and 5.
+
+Config 4 — seed-extend alignment of 1M simulated 150 bp reads against a
+chr20-scale (64 Mbp) simulated reference, chunked through the device SW
+verify stage.  Reports reads/s on this chip and mapping accuracy against
+the simulation truth (the per-host work unit of the data-parallel design:
+each host runs exactly this loop on its shard with a replicated index).
+
+Config 5 — global coordinate sort: the 1M mapped reads end-to-end, plus
+sort-throughput scaling at 10M keys single-chip and a 10M-key 8-way
+virtual-mesh bitonic shard-merge (correctness + host-equivalence), the
+N>=2-host path without multi-host hardware.
+
+Usage:  python tools/run_scale_configs.py [--reads N] [--ref-mbp M]
+Writes a JSON report to tests/golden/scale_report.json (and stdout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def simulate(rng, ref_len: int, n_reads: int, read_len: int,
+             err: float = 0.01):
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    ref = rng.choice(alpha, size=ref_len)
+    true_pos = rng.integers(0, ref_len - read_len, size=n_reads)
+    reads = ref[true_pos[:, None] + np.arange(read_len)[None, :]].copy()
+    mut = rng.random(reads.shape) < err
+    reads[mut] = alpha[(np.searchsorted(alpha, reads[mut]) +
+                        rng.integers(1, 4, int(mut.sum()))) % 4]
+    return ref, reads, true_pos
+
+
+def config4(n_reads: int, ref_len: int, chunk: int = 131072,
+            read_len: int = 150):
+    from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads
+
+    rng = np.random.default_rng(0)
+    print(f"simulating ref {ref_len/1e6:.0f} Mbp + {n_reads} reads ...",
+          flush=True)
+    ref, reads, true_pos = simulate(rng, ref_len, n_reads, read_len)
+
+    t0 = time.time()
+    index = ReferenceIndex.build(ref, k=16)
+    t_index = time.time() - t0
+    print(f"index build: {t_index:.1f}s ({len(index.sorted_kmers)} kmers)",
+          flush=True)
+
+    pos = np.full(n_reads, -1, np.int64)
+    score = np.zeros(n_reads, np.int64)
+    t0 = time.time()
+    chunk_times = []
+    for lo in range(0, n_reads, chunk):
+        hi = min(lo + chunk, n_reads)
+        tc = time.time()
+        out = map_reads(index, reads[lo:hi])
+        chunk_times.append(time.time() - tc)
+        pos[lo:hi] = out["pos"]
+        score[lo:hi] = out["score"]
+        el = time.time() - t0
+        print(f"  mapped {hi}/{n_reads}  ({hi/el:.0f} reads/s)", flush=True)
+    t_map = time.time() - t0
+    steady = (sum(chunk_times[1:]) / max(len(chunk_times) - 1, 1)
+              if len(chunk_times) > 1 else chunk_times[0])
+
+    mapped = pos >= 0
+    # window start is fuzzy by design (diagonal bin + pad); correct if the
+    # true read start lies inside the verified window
+    window = 150 + 2 * 24
+    ok = mapped & (true_pos >= pos) & (true_pos <= pos + window - 150)
+    return {
+        "n_reads": int(n_reads),
+        "ref_mbp": ref_len / 1e6,
+        "index_build_s": round(t_index, 2),
+        "map_s": round(t_map, 2),
+        "reads_per_s": round(n_reads / t_map, 1),
+        "steady_reads_per_s": round(chunk / steady, 1),
+        "first_chunk_s": round(chunk_times[0], 2),
+        "mapped_frac": round(float(mapped.mean()), 4),
+        "window_accuracy": round(float(ok.sum() / max(mapped.sum(), 1)), 4),
+    }, pos, score
+
+
+def config5(pos: np.ndarray, score: np.ndarray, n_sort: int = 10_000_000):
+    import jax
+
+    from mgl_tpu.parallel.sort import (join_u64, sort_records,
+                                       sort_records_single, split_u64)
+    from mgl_tpu.pipelines.align_sort import coordinate_keys
+
+    n = len(pos)
+    keys = coordinate_keys(np.zeros(n), pos, np.arange(n) & 0xFFFF)
+    vals = np.arange(n, dtype=np.int32)
+
+    # end-to-end: sort the real mapped coordinates on device
+    t0 = time.time()
+    skeys, order = sort_records_single(keys, vals)
+    t_e2e = time.time() - t0
+    assert np.all(skeys[1:] >= skeys[:-1])
+    assert np.array_equal(np.sort(keys), skeys)
+
+    # scaling: 10M synthetic coordinate keys, single chip
+    rng = np.random.default_rng(1)
+    big = ((rng.integers(0, 24, n_sort).astype(np.uint64) << np.uint64(48))
+           | (rng.integers(0, 1 << 26, n_sort).astype(np.uint64) << np.uint64(16))
+           | (np.arange(n_sort, dtype=np.uint64) & np.uint64(0xFFFF)))
+    bvals = np.arange(n_sort, dtype=np.int32)
+    sort_records_single(big[:1024], bvals[:1024])   # warm compile (shape differs; still warms runtime)
+    t0 = time.time()
+    sbig, _ = sort_records_single(big, bvals)
+    t_10m_first = time.time() - t0
+    t0 = time.time()
+    sbig, _ = sort_records_single(big, bvals)
+    t_10m = time.time() - t0
+    assert np.all(sbig[1:] >= sbig[:-1])
+
+    report = {
+        "e2e_reads": int(n),
+        "e2e_sort_s": round(t_e2e, 3),
+        "sort_10m_s": round(t_10m, 3),
+        "sort_10m_first_call_s": round(t_10m_first, 3),
+        "sort_10m_mkeys_per_s": round(n_sort / t_10m / 1e6, 1),
+    }
+
+    # N>=2-host path: 8-way bitonic shard merge on the virtual CPU mesh
+    # (run in a subprocess so the TPU process keeps its backend)
+    return report
+
+
+def config5_mesh(n_sort: int = 10_000_000):
+    """8-way distributed shard-merge sort at 10M keys (virtual CPU mesh)."""
+    from mgl_tpu.parallel.mesh import make_mesh
+    from mgl_tpu.parallel.sort import sort_records
+
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 1 << 62, n_sort).astype(np.uint64)
+    vals = np.arange(n_sort, dtype=np.int32)
+    mesh = make_mesh(8, 1)
+    t0 = time.time()
+    skeys, svals = sort_records(keys, vals, mesh, "dp")
+    t = time.time() - t0
+    assert np.array_equal(skeys, np.sort(keys)), "mesh sort != host sort"
+    assert np.array_equal(keys[svals], skeys), "payload permutation broken"
+    return {"mesh_sort_10m_devices": 8, "mesh_sort_10m_s": round(t, 3),
+            "mesh_sort_verified": True}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=1_048_576)
+    ap.add_argument("--ref-mbp", type=float, default=64.0)
+    ap.add_argument("--sort-keys", type=int, default=10_000_000)
+    ap.add_argument("--mesh-only", action="store_true",
+                    help="run only the virtual-mesh distributed sort")
+    args = ap.parse_args()
+
+    if args.mesh_only:
+        rep = config5_mesh(args.sort_keys)
+        print(json.dumps(rep))
+        return
+
+    import jax
+
+    rep = {"backend": jax.default_backend()}
+    c4, pos, score = config4(args.reads, int(args.ref_mbp * 1e6))
+    rep["config4_seed_extend_1m"] = c4
+    rep["config5_align_sort"] = config5(pos, score, args.sort_keys)
+    out = pathlib.Path(__file__).resolve().parent.parent / \
+        "tests/golden/scale_report.json"
+    out.write_text(json.dumps(rep, indent=1))
+    print(json.dumps(rep))
+
+
+if __name__ == "__main__":
+    main()
