@@ -47,9 +47,9 @@ def _sw_kernel(
     (mt_ref, mm_ref, go_ref, ge_ref,
      tchar_ref, qpad_ref, tlen_ref, qlen_ref) = refs[:8]
     if with_traceback:
-        lc_ref, lr_ref, btr_ref = refs[8:11]
+        ez_ref, btr_ref = refs[8:10]
         (sc_buf, e_ref, f_ref, qd_ref,
-         pack_ref, dma_sem) = refs[11:]
+         pack_ref, dma_sem) = refs[10:]
     else:
         lc_ref, lr_ref = refs[8:10]
         btr_ref = None
@@ -83,7 +83,7 @@ def _sw_kernel(
     if with_traceback:
         pack_ref[:] = jnp.zeros((2, R1p, LANES), jnp.uint32)
 
-    def body(d, _):
+    def body(d, ez_carry):
         sc_prev = sc_buf[pl.ds((d - 1) % 2, 1)][0]
         sc_prev2 = sc_buf[pl.ds(d % 2, 1)][0]
 
@@ -123,12 +123,35 @@ def _sw_kernel(
         e_ref[:] = e_cur
         f_ref[:] = f_cur
 
-        # ScoreMax samples: select-and-reduce instead of cross-sublane gather
+        # ScoreMax sampling: select-and-reduce instead of cross-sublane gather
         lc_mask = row == (d - qlen_row)
-        lc_ref[pl.ds(d - 2, 1), :] = jnp.sum(
-            jnp.where(lc_mask, sc_cur, 0), axis=0, keepdims=True)
-        lr_ref[pl.ds(d - 2, 1), :] = jnp.sum(
-            jnp.where(mask_lr, sc_cur, 0), axis=0, keepdims=True)
+        lc_val = jnp.sum(jnp.where(lc_mask, sc_cur, 0), axis=0, keepdims=True)
+        lr_val = jnp.sum(jnp.where(mask_lr, sc_cur, 0), axis=0, keepdims=True)
+        if with_traceback:
+            # on-device ScoreMax with the reference's exact tie rules.
+            # Last column (i = d - qlen ascending): '>=' so the largest i
+            # wins ties (sw.cpp:100-104).  Last row (j = d - tlen
+            # ascending): '>' or equal-and-closer-to-diagonal; among equal
+            # candidates that is argmax of (value, -|tlen-j|, earliest), a
+            # history-free selection, so a running reduction is exact
+            # (sw.cpp:115-127); the merge with mqe happens after the loop.
+            mqe, mqe_t, rmax, rdist, rj = ez_carry
+            i_lc = d - qlen_row
+            lc_ok = (i_lc >= 1) & (i_lc <= tlen_row)
+            take = lc_ok & (lc_val >= mqe)
+            mqe = jnp.where(take, lc_val, mqe)
+            mqe_t = jnp.where(take, i_lc, mqe_t)
+            j_lr = d - tlen_row
+            lr_ok = (j_lr >= 1) & (j_lr <= qlen_row)
+            dist = jnp.abs(tlen_row - j_lr)
+            rtake = lr_ok & ((lr_val > rmax) | ((lr_val == rmax) & (dist < rdist)))
+            rmax = jnp.where(rtake, lr_val, rmax)
+            rdist = jnp.where(rtake, dist, rdist)
+            rj = jnp.where(rtake, j_lr, rj)
+            ez_carry = (mqe, mqe_t, rmax, rdist, rj)
+        else:
+            lc_ref[pl.ds(d - 2, 1), :] = lc_val
+            lr_ref[pl.ds(d - 2, 1), :] = lr_val
 
         if with_traceback:
             # 4-bit nibble: bits0-1 move (0 diag, 1 INS, 2 DEL),
@@ -170,11 +193,27 @@ def _sw_kernel(
             def _flush():
                 _dma(w, slot).start()
 
-        return 0
+        return ez_carry
 
-    jax.lax.fori_loop(2, D, body, 0)
+    one = jnp.ones((1, LANES), jnp.int32)
+    ez0 = (jnp.full((1, LANES), NEG, jnp.int32), one,
+           jnp.full((1, LANES), NEG, jnp.int32),
+           jnp.full((1, LANES), 0x3FFFFFFF, jnp.int32), one)
+    ez_fin = jax.lax.fori_loop(2, D, body, ez0)
 
     if with_traceback:
+        # merge the last-row winner against mqe (the reference initializes
+        # its last-row scan with (mqe, mqe_t, qlen), sw.cpp:115-116)
+        mqe, mqe_t, rmax, rdist, rj = ez_fin
+        mqe_dist = jnp.abs(mqe_t - qlen_row)
+        row_wins = (rmax > mqe) | ((rmax == mqe) & (rdist < mqe_dist))
+        ez_ref[0:1] = mqe
+        ez_ref[1:2] = mqe_t
+        ez_ref[2:3] = jnp.where(row_wins, rmax, mqe)
+        ez_ref[3:4] = jnp.where(row_wins, tlen_row, mqe_t)
+        ez_ref[4:5] = jnp.where(row_wins, rj, qlen_row)
+        ez_ref[5:6] = jnp.where(row_wins, qlen_row - rj, 0)
+
         # drain the last (and possibly second-to-last) in-flight flushes
         tile = pl.program_id(0)
         n_w = (D - 2 + 7) // 8
@@ -325,10 +364,12 @@ def sw_pallas_forward(
     indel_init: bool,
     with_traceback: bool,
 ):
-    """Returns (lc, lr, btr_packed):
-      lc/lr: (D-2, Bp) int32 last-column/last-row samples per diagonal
+    """with_traceback=True  -> returns (ez, btr_packed):
+      ez: (6, Bp) int32 on-device ScoreMax
+          rows: mqe, mqe_t, max, max_t, max_q, seg_length
       btr_packed: (ceil((D-2)/8), R1p, Bp) uint32 nibble-packed traceback
-                  (empty when with_traceback=False)
+    with_traceback=False -> returns (lc, lr):
+      (D-2, Bp) int32 last-column/last-row samples per diagonal.
     """
     R1p, Bp = tchar.shape
     QP = qpad.shape[0]
@@ -349,17 +390,24 @@ def sw_pallas_forward(
         return (0, i)
 
     scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    out_shapes = [
-        jax.ShapeDtypeStruct((Dm, Bp), jnp.int32),
-        jax.ShapeDtypeStruct((Dm, Bp), jnp.int32),
-    ]
-    out_specs = [
-        pl.BlockSpec((Dm, LANES), col, memory_space=pltpu.VMEM),
-        pl.BlockSpec((Dm, LANES), col, memory_space=pltpu.VMEM),
-    ]
     if with_traceback:
-        out_shapes.append(jax.ShapeDtypeStruct((n_words, R1p, Bp), jnp.uint32))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        out_shapes = [
+            jax.ShapeDtypeStruct((6, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((n_words, R1p, Bp), jnp.uint32),
+        ]
+        out_specs = [
+            pl.BlockSpec((6, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+    else:
+        out_shapes = [
+            jax.ShapeDtypeStruct((Dm, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((Dm, Bp), jnp.int32),
+        ]
+        out_specs = [
+            pl.BlockSpec((Dm, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dm, LANES), col, memory_space=pltpu.VMEM),
+        ]
 
     scratch_shapes = [
         pltpu.VMEM((2, R1p, LANES), jnp.int32),   # sc ping-pong
@@ -392,11 +440,10 @@ def sw_pallas_forward(
         tchar, qpad, tlen, qlen,
     )
     if with_traceback:
-        lc, lr, btr = outs
-    else:
-        lc, lr = outs
-        btr = None
-    return lc, lr, btr
+        ez, btr = outs
+        return ez, btr
+    lc, lr = outs
+    return lc, lr, None
 
 
 def align_batch(
@@ -405,11 +452,10 @@ def align_batch(
     params,
     strategy,
 ) -> list[tuple[str, int]]:
-    """Full pipeline through the Pallas kernel: forward + ScoreMax + nibble
-    CIGAR decode.  Same contract as ops.sw.align_batch."""
+    """Full pipeline through the Pallas kernel: forward + on-device
+    ScoreMax + nibble CIGAR decode.  Same contract as ops.sw.align_batch."""
     from mgl_tpu.core.params import OverhangStrategy
     from mgl_tpu.ops.cigar import decode_packed_one
-    from mgl_tpu.ops.sw import compute_score_max
 
     B = len(targets)
     tlen = np.array([len(t) for t in targets], dtype=np.int32)
@@ -425,15 +471,15 @@ def align_batch(
     indel_init = bool(
         strategy & (OverhangStrategy.INDEL | OverhangStrategy.LEADING_INDEL)
     )
-    lc, lr, btr = sw_pallas_forward(
+    ez_dev, btr = sw_pallas_forward(
         jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl), jnp.asarray(ql),
         params.match, params.mismatch, params.gap_open, params.gap_extend,
         indel_init=indel_init, with_traceback=True,
     )
-    lc = np.asarray(lc)[:, :B]
-    lr = np.asarray(lr)[:, :B]
+    ez_np = np.asarray(ez_dev)[:, :B].astype(np.int64)
+    ez = dict(zip(("mqe", "mqe_t", "max", "max_t", "max_q", "seg_length"),
+                  ez_np))
     btr = np.asarray(btr)
-    ez = compute_score_max(lc, lr, tlen, qlen)
 
     from mgl_tpu.native import cigar_decode_bulk
 
