@@ -135,7 +135,7 @@ def _sw_kernel(
             # candidates that is argmax of (value, -|tlen-j|, earliest), a
             # history-free selection, so a running reduction is exact
             # (sw.cpp:115-127); the merge with mqe happens after the loop.
-            mqe, mqe_t, rmax, rdist, rj = ez_carry
+            mqe, mqe_t, rmax, rdist, rj = ez_carry[:5]
             i_lc = d - qlen_row
             lc_ok = (i_lc >= 1) & (i_lc <= tlen_row)
             take = lc_ok & (lc_val >= mqe)
@@ -148,7 +148,7 @@ def _sw_kernel(
             rmax = jnp.where(rtake, lr_val, rmax)
             rdist = jnp.where(rtake, dist, rdist)
             rj = jnp.where(rtake, j_lr, rj)
-            ez_carry = (mqe, mqe_t, rmax, rdist, rj)
+            ez_carry = (mqe, mqe_t, rmax, rdist, rj) + tuple(ez_carry[5:])
         else:
             lc_ref[pl.ds(d - 2, 1), :] = lc_val
             lr_ref[pl.ds(d - 2, 1), :] = lr_val
@@ -156,14 +156,16 @@ def _sw_kernel(
         if with_traceback:
             # 4-bit nibble: bits0-1 move (0 diag, 1 INS, 2 DEL),
             # bit2 E-extend, bit3 F-extend
+            word_acc = ez_carry[-1]
             move = jnp.where(is_diag, 0, jnp.where(ins_over_del, 1, 2))
             nib = (move
                    | jnp.where(open_wins_v, 0, 4)
                    | jnp.where(open_wins_h, 0, 8))
-            nib = jnp.where(boundary, 0, nib)
+            nib = jnp.where(boundary, 0, nib).astype(jnp.uint32)
             tile = pl.program_id(0)
             w = (d - 2) // 8
             slot = w % 2
+            phase = (d - 2) % 8
 
             def _dma(word_idx, slot_idx):
                 return pltpu.make_async_copy(
@@ -173,25 +175,24 @@ def _sw_kernel(
                     dma_sem.at[slot_idx],
                 )
 
-            # word start: make sure the DMA that last used this slot
-            # (word w-2) has drained, then clear the slot
-            @pl.when(((d - 2) % 8 == 0) & (w >= 2))
+            # accumulate in registers: fresh word at phase 0, OR-in after
+            word_acc = jnp.where(phase == 0, nib,
+                                 word_acc | (nib << (phase * 4).astype(jnp.uint32)))
+
+            # word end: reclaim the slot (its word-w-2 DMA), store the
+            # completed word, kick the flush asynchronously
+            flush = (phase == 7) | (d == D - 1)
+
+            @pl.when(flush & (w >= 2))
             def _reuse():
                 _dma(w - 2, slot).wait()
 
-            @pl.when((d - 2) % 8 == 0)
-            def _clear():
-                pack_ref[pl.ds(slot, 1)] = jnp.zeros(
-                    (1, R1p, LANES), jnp.uint32)
-
-            shift = (jnp.uint32(d - 2) % 8) * 4
-            word = pack_ref[pl.ds(slot, 1)][0] | (nib.astype(jnp.uint32) << shift)
-            pack_ref[pl.ds(slot, 1)] = word[None]
-
-            # word end: kick the flush asynchronously (double-buffered)
-            @pl.when(((d - 2) % 8 == 7) | (d == D - 1))
+            @pl.when(flush)
             def _flush():
+                pack_ref[pl.ds(slot, 1)] = word_acc[None]
                 _dma(w, slot).start()
+
+            ez_carry = ez_carry[:5] + (word_acc,)
 
         return ez_carry
 
@@ -199,12 +200,14 @@ def _sw_kernel(
     ez0 = (jnp.full((1, LANES), NEG, jnp.int32), one,
            jnp.full((1, LANES), NEG, jnp.int32),
            jnp.full((1, LANES), 0x3FFFFFFF, jnp.int32), one)
+    if with_traceback:
+        ez0 = (*ez0, jnp.zeros((R1p, LANES), jnp.uint32))
     ez_fin = jax.lax.fori_loop(2, D, body, ez0)
 
     if with_traceback:
         # merge the last-row winner against mqe (the reference initializes
         # its last-row scan with (mqe, mqe_t, qlen), sw.cpp:115-116)
-        mqe, mqe_t, rmax, rdist, rj = ez_fin
+        mqe, mqe_t, rmax, rdist, rj = ez_fin[:5]
         mqe_dist = jnp.abs(mqe_t - qlen_row)
         row_wins = (rmax > mqe) | ((rmax == mqe) & (rdist < mqe_dist))
         ez_ref[0:1] = mqe
