@@ -44,16 +44,16 @@ def _sw_kernel(
     *refs,
     R1p: int, D: int, indel_init: bool, with_traceback: bool,
 ):
-    (mt_ref, mm_ref, go_ref, ge_ref,
-     tchar_ref, qpad_ref, tlen_ref, qlen_ref) = refs[:8]
+    (mt_ref, mm_ref, go_ref, ge_ref, dmin_ref,
+     tchar_ref, qpad_ref, tlen_ref, qlen_ref) = refs[:9]
     if with_traceback:
-        ez_ref, btr_ref = refs[8:10]
+        ez_ref, btr_ref = refs[9:11]
         (sc_buf, e_ref, f_ref, qd_ref,
-         pack_ref, dma_sem) = refs[10:]
+         pack_ref, dma_sem) = refs[11:]
     else:
-        lc_ref, lr_ref = refs[8:10]
+        lc_ref, lr_ref = refs[9:11]
         btr_ref = None
-        sc_buf, e_ref, f_ref, qd_ref = refs[10:]
+        sc_buf, e_ref, f_ref, qd_ref = refs[11:]
         pack_ref = dma_sem = None
     w_match = mt_ref[0, 0]
     w_mismatch = mm_ref[0, 0]
@@ -83,7 +83,7 @@ def _sw_kernel(
     if with_traceback:
         pack_ref[:] = jnp.zeros((2, R1p, LANES), jnp.uint32)
 
-    def body(d, ez_carry):
+    def body(d, ez_carry, *, sample: bool = True):
         sc_prev = sc_buf[pl.ds((d - 1) % 2, 1)][0]
         sc_prev2 = sc_buf[pl.ds(d % 2, 1)][0]
 
@@ -124,10 +124,13 @@ def _sw_kernel(
         f_ref[:] = f_cur
 
         # ScoreMax sampling: select-and-reduce instead of cross-sublane gather
-        lc_mask = row == (d - qlen_row)
-        lc_val = jnp.sum(jnp.where(lc_mask, sc_cur, 0), axis=0, keepdims=True)
-        lr_val = jnp.sum(jnp.where(mask_lr, sc_cur, 0), axis=0, keepdims=True)
-        if with_traceback:
+        if sample:
+            lc_mask = row == (d - qlen_row)
+            lc_val = jnp.sum(jnp.where(lc_mask, sc_cur, 0), axis=0,
+                             keepdims=True)
+            lr_val = jnp.sum(jnp.where(mask_lr, sc_cur, 0), axis=0,
+                             keepdims=True)
+        if with_traceback and sample:
             # on-device ScoreMax with the reference's exact tie rules.
             # Last column (i = d - qlen ascending): '>=' so the largest i
             # wins ties (sw.cpp:100-104).  Last row (j = d - tlen
@@ -149,7 +152,7 @@ def _sw_kernel(
             rdist = jnp.where(rtake, dist, rdist)
             rj = jnp.where(rtake, j_lr, rj)
             ez_carry = (mqe, mqe_t, rmax, rdist, rj) + tuple(ez_carry[5:])
-        else:
+        elif not with_traceback:
             lc_ref[pl.ds(d - 2, 1), :] = lc_val
             lr_ref[pl.ds(d - 2, 1), :] = lr_val
 
@@ -202,7 +205,14 @@ def _sw_kernel(
            jnp.full((1, LANES), 0x3FFFFFFF, jnp.int32), one)
     if with_traceback:
         ez0 = (*ez0, jnp.zeros((R1p, LANES), jnp.uint32))
-    ez_fin = jax.lax.fori_loop(2, D, body, ez0)
+        # diagonals below dmin = min(tlen, qlen) + 1 have no last-row or
+        # last-column cell in any lane of this tile: skip the sampling ops
+        dmin = jnp.clip(dmin_ref[0, pl.program_id(0)], 2, D)
+        ez_mid = jax.lax.fori_loop(
+            2, dmin, functools.partial(body, sample=False), ez0)
+        ez_fin = jax.lax.fori_loop(dmin, D, body, ez_mid)
+    else:
+        ez_fin = jax.lax.fori_loop(2, D, body, ez0)
 
     if with_traceback:
         # merge the last-row winner against mqe (the reference initializes
@@ -235,7 +245,7 @@ def _sw_kernel(
 
 
 def _sw_score_kernel(
-    mt_ref, mm_ref, go_ref, ge_ref,
+    mt_ref, mm_ref, go_ref, ge_ref, dmin_ref,
     tchar_ref, qpad_ref, tlen_ref, qlen_ref,
     score_ref,
     sc_buf, e_ref, f_ref, qd_ref, best_ref,
@@ -269,7 +279,7 @@ def _sw_score_kernel(
     qd_ref[:] = jnp.where(row == 0, qpad_ref[0:1, :], 0)
     best_ref[:] = jnp.full((1, LANES), NEG, jnp.int32)
 
-    def body(d, _):
+    def body(d, _, *, sample: bool = True):
         sc_prev = sc_buf[pl.ds((d - 1) % 2, 1)][0]
         sc_prev2 = sc_buf[pl.ds(d % 2, 1)][0]
 
@@ -297,16 +307,19 @@ def _sw_score_kernel(
 
         # last-column cell (r = d - qlen, 1 <= r <= tlen) and last-row cell
         # (r = tlen, 1 <= d - tlen <= qlen), max-reduced per lane
-        r_lc = d - qlen_row
-        lc_mask = (row == r_lc) & (r_lc >= 1) & (r_lc <= tlen_row)
-        c_lr = d - tlen_row
-        lr_mask = mask_lr & (c_lr >= 1) & (c_lr <= qlen_row)
-        cand = jnp.max(jnp.where(lc_mask | lr_mask, sc_cur, NEG),
-                       axis=0, keepdims=True)
-        best_ref[:] = jnp.maximum(best_ref[:], cand)
+        if sample:
+            r_lc = d - qlen_row
+            lc_mask = (row == r_lc) & (r_lc >= 1) & (r_lc <= tlen_row)
+            c_lr = d - tlen_row
+            lr_mask = mask_lr & (c_lr >= 1) & (c_lr <= qlen_row)
+            cand = jnp.max(jnp.where(lc_mask | lr_mask, sc_cur, NEG),
+                           axis=0, keepdims=True)
+            best_ref[:] = jnp.maximum(best_ref[:], cand)
         return 0
 
-    jax.lax.fori_loop(2, D, body, 0)
+    dmin = jnp.clip(dmin_ref[0, pl.program_id(0)], 2, D)
+    jax.lax.fori_loop(2, dmin, functools.partial(body, sample=False), 0)
+    jax.lax.fori_loop(dmin, D, body, 0)
     score_ref[:] = best_ref[:]
 
 
@@ -326,11 +339,17 @@ def sw_pallas_scores(
                                indel_init=indel_init)
     col = lambda i: (0, i)
     scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    n_tiles = Bp // LANES
+    valid = tlen > 0
+    dlane = jnp.where(valid, jnp.minimum(tlen, qlen), jnp.int32(0x7FFFFFF))
+    dmin = jnp.min(dlane.reshape(n_tiles, LANES), axis=1)[None, :] + 1
     score = pl.pallas_call(
         kernel,
-        grid=(Bp // LANES,),
+        grid=(n_tiles,),
         in_specs=[
             scalar, scalar, scalar, scalar,
+            pl.BlockSpec((1, n_tiles), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((R1p, LANES), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((QP, LANES), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
@@ -348,6 +367,7 @@ def sw_pallas_scores(
     )(
         jnp.asarray([[match]], jnp.int32), jnp.asarray([[mismatch]], jnp.int32),
         jnp.asarray([[gap_open]], jnp.int32), jnp.asarray([[gap_ext]], jnp.int32),
+        dmin.astype(jnp.int32),
         tchar, qpad, tlen, qlen,
     )
     return score
@@ -424,11 +444,18 @@ def sw_pallas_forward(
             pltpu.SemaphoreType.DMA((2,)),             # per-slot flush sems
         ]
 
+    n_tiles = Bp // LANES
+    valid = tlen > 0
+    dlane = jnp.where(valid, jnp.minimum(tlen, qlen), jnp.int32(0x7FFFFFF))
+    dmin = jnp.min(dlane.reshape(n_tiles, LANES), axis=1)[None, :] + 1
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             scalar, scalar, scalar, scalar,
+            pl.BlockSpec((1, n_tiles), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((R1p, LANES), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((QP, LANES), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
@@ -440,6 +467,7 @@ def sw_pallas_forward(
     )(
         jnp.asarray([[match]], jnp.int32), jnp.asarray([[mismatch]], jnp.int32),
         jnp.asarray([[gap_open]], jnp.int32), jnp.asarray([[gap_ext]], jnp.int32),
+        dmin.astype(jnp.int32),
         tchar, qpad, tlen, qlen,
     )
     if with_traceback:
