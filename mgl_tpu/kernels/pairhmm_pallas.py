@@ -159,7 +159,7 @@ def pairhmm_pallas_forward(
 
 
 def _pairhmm_banded_kernel(
-    hap_ref, rchar_ref, rslen_ref, haplen_ref,
+    hap_ref, rchar_ref, rslen_ref, haplen_ref, tlo_ref, thi_ref,
     pmm_u_ref, pgapm_u_ref, pmx_u_ref, pzz_u_ref,
     p_my_ref, p_zz_ref,
     dm_ref, dmm_ref, u0_ref,
@@ -225,7 +225,7 @@ def _pairhmm_banded_kernel(
         m_un, y_un = zero, zero
         hd = jnp.where(row0, hap_ref[0:1, :], 0)
 
-        def step(t, carry):
+        def step(t, carry, *, sample: bool = True):
             m_un, y_un, w_p, u_p, u_pp, hd, acc = carry
 
             distm = jnp.where((rch & hd) != 0, dmb, dmmb)
@@ -233,13 +233,15 @@ def _pairhmm_banded_kernel(
             x_cur = w_p
             y_cur = m_un * pmy + y_un * pzz
 
-            # last-row contribution (only the band containing rslen has a
-            # nonempty mask); column at that sublane: t + b*BH + 2 - rslen
-            contrib = jnp.sum(jnp.where(mask_last, m_cur + x_cur, 0.0),
-                              axis=0, keepdims=True)
-            c = t + b * BH + 2 - rsl_row
-            valid = (c >= 1) & (c <= hl_row)
-            acc = acc + jnp.where(valid, contrib, 0.0)
+            if sample:
+                # last-row contribution (only the band containing rslen has
+                # a nonempty mask); column at that sublane:
+                # t + b*BH + 2 - rslen
+                contrib = jnp.sum(jnp.where(mask_last, m_cur + x_cur, 0.0),
+                                  axis=0, keepdims=True)
+                c = t + b * BH + 2 - rsl_row
+                valid = (c >= 1) & (c <= hl_row)
+                acc = acc + jnp.where(valid, contrib, 0.0)
 
             u = m_cur * pmm_u + (x_cur + y_cur) * pgapm_u
             w = m_cur * pmx_u + x_cur * pzz_u
@@ -262,8 +264,16 @@ def _pairhmm_banded_kernel(
 
             return (m_cur, y_cur, w_sh, u_sh, u_p, hd, acc)
 
+        # contrib is nonzero only while some lane's last-row sublane sits
+        # in a valid column: split the sweep so the other steps skip it
+        tile = pl.program_id(0)
+        t_lo = jnp.clip(tlo_ref[b, tile], 0, NT)
+        t_hi = jnp.clip(thi_ref[b, tile], t_lo, NT)
         carry = (m_un, y_un, w_p, u_p, u_pp, hd, acc)
-        carry = jax.lax.fori_loop(0, NT, step, carry)
+        nos = functools.partial(step, sample=False)
+        carry = jax.lax.fori_loop(0, t_lo, nos, carry)
+        carry = jax.lax.fori_loop(t_lo, t_hi, step, carry)
+        carry = jax.lax.fori_loop(t_hi, NT, nos, carry)
         return carry[-1]
 
     acc = jax.lax.fori_loop(0, NB, band,
@@ -293,20 +303,37 @@ def pairhmm_pallas_banded(
     NT = H + BH - 1
     Hcp = _round_up(H + BH + 4, 8)
 
-    grid = (Bp // LANES,)
+    n_tiles = Bp // LANES
+    grid = (n_tiles,)
     kernel = functools.partial(_pairhmm_banded_kernel, BH=BH, NB=NB, NT=NT,
                                Hcp=Hcp, HR=HR)
+
+    # per-(band, tile) contrib windows: lane's last-row sublane is active
+    # for t in [rslen - b*BH - 1, rslen - b*BH - 1 + haplen)
+    rsl = rslen[0].astype(jnp.int32)
+    hl = haplen[0].astype(jnp.int32)
+    lane_band = (rsl - 1) // BH
+    t1 = rsl - 1 - lane_band * BH
+    bands = jnp.arange(NB, dtype=jnp.int32)[:, None]
+    in_band = (lane_band[None, :] == bands) & (rsl[None, :] >= 1)
+    tlo = jnp.min(jnp.where(in_band, t1[None, :], NT)
+                  .reshape(NB, n_tiles, LANES), axis=2)
+    thi = jnp.max(jnp.where(in_band, t1[None, :] + hl[None, :], 0)
+                  .reshape(NB, n_tiles, LANES), axis=2)
 
     def col(i):
         return (0, i)
 
     vm = lambda shape: pl.BlockSpec(shape, col, memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec((NB, n_tiles), lambda i: (0, 0),
+                      memory_space=pltpu.SMEM)
 
     score = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             vm((HR, LANES)), vm((Rb, LANES)), vm((1, LANES)), vm((1, LANES)),
+            sm, sm,
             vm((Rb, LANES)), vm((Rb, LANES)), vm((Rb, LANES)), vm((Rb, LANES)),
             vm((Rb, LANES)), vm((Rb, LANES)),
             vm((Rb, LANES)), vm((Rb, LANES)), vm((1, LANES)),
@@ -316,7 +343,8 @@ def pairhmm_pallas_banded(
         scratch_shapes=[
             pltpu.VMEM((2, 2, Hcp, LANES), jnp.float32),
         ],
-    )(hap, rchar, rslen, haplen, pmm_u, pgapm_u, pmx_u, pzz_u,
+    )(hap, rchar, rslen, haplen, tlo.astype(jnp.int32), thi.astype(jnp.int32),
+      pmm_u, pgapm_u, pmx_u, pzz_u,
       p_my, p_zz, dm, dmm, u0)
     return score
 
