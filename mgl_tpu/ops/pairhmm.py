@@ -109,6 +109,7 @@ def pack_pairs(
     reads: list[dict],
     haps: list[np.ndarray],
     pair_index: list[tuple[int, int]] | None = None,
+    pad_to: tuple[int, int] | None = None,
 ) -> PairHMMBatch:
     """Pack (read, hap) pairs into padded arrays.
 
@@ -116,12 +117,19 @@ def pack_pairs(
     layout of MicrosoftPairHmm.java:90-97, one dict per read).
     ``pair_index``: list of (read_idx, hap_idx); defaults to the full
     reads x haps product in row-major order (JNI driver semantics).
+    ``pad_to``: (read_pad, hap_pad) bucket dims for compiled-shape reuse;
+    defaults to the batch maxima.  Padding is inert (zero transition rows,
+    column-gated accumulation), so scores are pad-invariant.
     """
     if pair_index is None:
         pair_index = [(ri, hi) for ri in range(len(reads)) for hi in range(len(haps))]
     B = len(pair_index)
     rmax = max(len(reads[ri]["bases"]) for ri, _ in pair_index)
     hmax = max(len(haps[hi]) for _, hi in pair_index)
+    if pad_to is not None:
+        if pad_to[0] < rmax or pad_to[1] < hmax:
+            raise ValueError(f"pad_to {pad_to} < batch maxima ({rmax}, {hmax})")
+        rmax, hmax = pad_to
     R = rmax + 1
 
     # per-read transition rows (computed once per read, broadcast to pairs)
@@ -335,15 +343,23 @@ def compute_likelihoods(
     for b, s in fast_hit.items():
         scores[b] = s
     if not use_double and dp_pairs:
-        batch = pack_pairs(reads, haps, [pair_index[b] for b in dp_pairs])
+        from mgl_tpu.batch.bucketing import bucket_pairs
+
         if _use_pallas(impl):
             from mgl_tpu.kernels.pairhmm_pallas import forward_scores
-
-            sub = forward_scores(batch)
         else:
-            sub = forward_scores_xla(batch)
-        for b, s in zip(dp_pairs, sub):
-            scores[b] = float(s)
+            forward_scores = forward_scores_xla
+        # length-bucket by (read, hap) pad shape so mixed-length products
+        # don't all pay the global maxima (and compiled shapes get reused)
+        la = [len(reads[pair_index[b][0]]["bases"]) for b in dp_pairs]
+        lb = [len(haps[pair_index[b][1]]) for b in dp_pairs]
+        for (pa, pb), idxs in bucket_pairs(la, lb):
+            sel = [dp_pairs[k] for k in idxs]
+            batch = pack_pairs(reads, haps, [pair_index[b] for b in sel],
+                               pad_to=(pa, pb))
+            sub = forward_scores(batch)
+            for b, s in zip(sel, sub):
+                scores[b] = float(s)
 
     lic32 = float(CTX_F32.log10_initial_constant)
     lic64 = float(CTX_F64.log10_initial_constant)

@@ -127,3 +127,24 @@ def test_duplicate_hap_dedup_matches_full_product(pairhmm_kat):
     # and the deduped product equals a from-scratch two-hap product
     ref = eng.compute_likelihoods(reads, haps[:2])
     assert np.array_equal(out[:, :2], ref)
+
+
+def test_bucketed_product_matches_single_bucket(pairhmm_kat):
+    """Mixed-length products split across pad buckets must equal the
+    unbucketed result exactly (padding is inert)."""
+    from mgl_tpu.ops.pairhmm import compute_likelihoods
+
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    reads = []
+    for n in (7, 40, 130):
+        q = rng.integers(10, 45, size=n).astype(np.uint8)
+        reads.append(dict(bases=rng.choice(alpha, n), q=q, i=q, d=q,
+                          c=np.full(n, 10, np.uint8)))
+    haps = [rng.choice(alpha, h) for h in (20, 90, 300)]
+    out = compute_likelihoods(reads, haps)
+    # single pairs computed independently must match the bucketed product
+    for ri in range(3):
+        for hi in range(3):
+            single = compute_likelihoods([reads[ri]], [haps[hi]])
+            assert single[0, 0] == out[ri, hi], (ri, hi)
