@@ -189,9 +189,24 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
             out["offset"][i] = res[j].offset
             out["score"][i] = 0
     else:
-        scores = sw_score_batch(windows, reads[mapped], params, impl=impl)
+        # exact-match fast tier: a read equal to a window substring scores
+        # exactly read_len * match (no alignment can exceed #matches *
+        # match), so SW verification is provably redundant.  The diagonal
+        # vote quantizes to 8-base bins, so the exact hit, if any, sits at
+        # window offsets [pad, pad+8).
+        rsub = reads[mapped]
+        exact = np.zeros(len(mapped), bool)
+        for o in range(window_pad, min(window_pad + 8, wlen - L + 1)):
+            m = ~exact
+            m[m] = (windows[m, o: o + L] == rsub[m]).all(axis=1)
+            exact |= m
         out["pos"][mapped] = start
-        out["score"][mapped] = scores
+        out["score"][mapped[exact]] = L * int(params.match)
+        rest = ~exact
+        if rest.any():
+            scores = sw_score_batch(windows[rest], rsub[rest], params,
+                                    impl=impl)
+            out["score"][mapped[rest]] = scores
     return out
 
 

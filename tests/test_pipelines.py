@@ -100,3 +100,30 @@ def test_align_and_sort_mesh_matches_single(sim):
     out_1 = align_and_sort(idx, reads)
     np.testing.assert_array_equal(out_m["keys"], out_1["keys"])
     np.testing.assert_array_equal(out_m["order"], out_1["order"])
+
+
+def test_exact_match_fast_tier_equals_sw(sim):
+    """Error-free reads take the exact-match tier; scores must equal the
+    device SW result (read_len * match is the provable SW optimum)."""
+    from mgl_tpu.core.params import SWParameters
+    from mgl_tpu.pipelines.mapper import (ReferenceIndex, map_reads,
+                                          sw_score_batch)
+
+    index, reads, true_pos = sim
+    ref = index.ref
+    # rebuild error-free reads from the reference itself
+    L = reads.shape[1]
+    clean = ref[true_pos[:, None] + np.arange(L)[None, :]]
+    out = map_reads(index, clean)
+    mapped = out["pos"] >= 0
+    assert mapped.mean() > 0.9
+    assert np.all(out["score"][mapped] == L * 25)
+    # and a mixed batch (clean + noisy) still matches per-read SW scoring
+    mix = np.concatenate([clean[:8], reads[:8]])
+    got = map_reads(index, mix)
+    for i in np.nonzero(got["pos"] >= 0)[0]:
+        w0 = int(got["pos"][i])
+        window = ref[w0: w0 + L + 48]
+        sw = sw_score_batch(window[None, :], mix[i][None, :],
+                            SWParameters(25, -50, 110, 6))
+        assert got["score"][i] == sw[0], i
