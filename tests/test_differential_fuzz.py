@@ -1,0 +1,133 @@
+"""Live differential fuzzing against the compiled C++ reference.
+
+Recreates the reference's own differential-oracle pattern
+(ComparePairHmm.java:21-91, CompareSmithWaterman.java:19-82 — there the
+golden side is Intel GKL; here it is the reference itself, compiled by
+tools/oracle/build.sh).  Unlike tests/golden/*, these cases are freshly
+randomized every run, so parity is continuously re-established rather
+than pinned to a stored corpus.
+
+Skipped when the oracle binary is absent (build it with
+``tools/oracle/build.sh``; requires /root/reference mounted).
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+
+ORACLE = pathlib.Path(__file__).resolve().parent.parent / "tools/oracle/oracle"
+
+pytestmark = pytest.mark.skipif(not ORACLE.exists(),
+                                reason="oracle binary not built")
+
+ALPHA = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _oracle(mode: str, lines: list[str]) -> list[str]:
+    out = subprocess.run([str(ORACLE), mode], input="\n".join(lines) + "\n",
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    return out.stdout.strip().splitlines()
+
+
+def _rand_seq(rng, lo, hi):
+    return rng.choice(ALPHA, size=int(rng.integers(lo, hi))).tobytes()
+
+
+def _mutate(rng, seq: bytes) -> bytes:
+    b = bytearray(seq)
+    for _ in range(int(rng.integers(0, 6))):
+        k = int(rng.integers(0, 3))
+        p = int(rng.integers(0, len(b))) if b else 0
+        if k == 0 and b:
+            b[p] = int(rng.choice(ALPHA))
+        elif k == 1:
+            b[p:p] = bytes([int(rng.choice(ALPHA))] * int(rng.integers(1, 4)))
+        elif b[p: p + 2]:
+            del b[p: p + 2]
+    return bytes(b) or b"A"
+
+
+def test_sw_fuzz_vs_reference():
+    from mgl_tpu.api import OverhangStrategy, SmithWatermanAligner, SWParameters
+
+    rng = np.random.default_rng()          # fresh cases every run
+    params = [(25, -50, 110, 6), (10, -15, 30, 2), (200, -100, 250, 1)]
+    cases = []
+    for _ in range(60):
+        t = _rand_seq(rng, 12, 180)
+        q = _mutate(rng, t) if rng.random() < 0.7 else _rand_seq(rng, 8, 160)
+        m, x, o, e = params[int(rng.integers(len(params)))]
+        s = int(rng.choice([1, 2, 4, 8]))
+        cases.append((t, q, m, x, o, e, s))
+
+    lines = [f"{t.decode()} {q.decode()} {m} {x} {-o} {-e} {s}"
+             for t, q, m, x, o, e, s in cases]
+    got_ref = _oracle("sw", lines)
+
+    aligner = SmithWatermanAligner()
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i, c in enumerate(cases):
+        groups[c[2:]].append(i)
+    ours = [None] * len(cases)
+    for (m, x, o, e, s), idxs in groups.items():
+        res = aligner.align_batch([cases[i][0] for i in idxs],
+                                  [cases[i][1] for i in idxs],
+                                  SWParameters(m, x, o, e),
+                                  OverhangStrategy(s))
+        for i, r in zip(idxs, res):
+            ours[i] = r
+
+    for i, (line, r) in enumerate(zip(got_ref, ours)):
+        cig_sc, off_sc = line.split()[:2]        # scalar kernel columns
+        assert r.cigar == cig_sc and r.offset == int(off_sc), \
+            (cases[i], line, r)
+
+
+def test_pairhmm_fuzz_vs_reference():
+    from mgl_tpu.api import PairHmmEngine
+
+    rng = np.random.default_rng()
+    cases = []
+    for _ in range(40):
+        hap = _rand_seq(rng, 8, 250)
+        n = int(rng.integers(4, 140))
+        if rng.random() < 0.6 and len(hap) > n:   # read resembling the hap
+            st = int(rng.integers(0, len(hap) - n))
+            read = bytearray(hap[st: st + n])
+            for _ in range(int(rng.integers(0, 4))):
+                read[int(rng.integers(n))] = int(rng.choice(ALPHA))
+            read = bytes(read)
+        else:
+            read = _rand_seq(rng, 4, 140)
+        n = len(read)
+        q = rng.integers(6, 50, n).astype(np.uint8)
+        i = rng.integers(30, 50, n).astype(np.uint8)
+        d = rng.integers(30, 50, n).astype(np.uint8)
+        c = np.full(n, 10, np.uint8)
+        cases.append((hap, read, q, i, d, c))
+
+    fmt = lambda a: ",".join(str(int(v)) for v in a)
+    lines = [f"{h.decode()} {r.decode()} {fmt(q)} {fmt(i)} {fmt(d)} {fmt(c)}"
+             for h, r, q, i, d, c in cases]
+    got_ref = _oracle("pairhmm", lines)
+
+    eng = PairHmmEngine()
+    for k, (h, r, q, i, d, c) in enumerate(cases):
+        lik = eng.compute_likelihoods(
+            [dict(bases=np.frombuffer(r, np.uint8), q=q, i=i, d=d, c=c)],
+            [np.frombuffer(h, np.uint8)])[0, 0]
+        cols = got_ref[k].split()
+        sf = float.fromhex(cols[0])              # reference scalar f32
+        sd = float.fromhex(cols[1])              # reference scalar f64
+        if sf >= 1e-28:
+            want = math.log10(sf) - 120 * math.log10(2)
+        else:                                    # rescue tier (double)
+            want = math.log10(sd) - 1020 * math.log10(2)
+        assert abs(lik - want) < 1e-5, (k, lik, want, cases[k][:2])
