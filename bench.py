@@ -29,8 +29,9 @@ def _sync(x):
 def bench_sw(B=131072, T=150, Q=150, with_traceback=True, iters=6):
     import jax.numpy as jnp
 
-    from mgl_tpu.kernels.sw_pallas import (prepare_inputs, sw_pallas_forward,
-                                           sw_pallas_scores)
+    from mgl_tpu.kernels.sw_pallas import (prepare_inputs,
+                                           prepare_inputs_banded,
+                                           sw_pallas_banded, sw_pallas_scores)
 
     rng = np.random.default_rng(0)
     tbuf = rng.integers(65, 85, size=(B, T)).astype(np.int32)
@@ -39,14 +40,16 @@ def bench_sw(B=131072, T=150, Q=150, with_traceback=True, iters=6):
     qbuf[mut] = rng.integers(65, 85, size=int(mut.sum()))
     tlen = np.full(B, T, np.int32)
     qlen = np.full(B, Q, np.int32)
-    tchar, qp, tl, ql = prepare_inputs(tbuf, tlen, qbuf, qlen)
-    args = (jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
-            jnp.asarray(ql), 25, -50, 110, 6)
 
     if with_traceback:
-        run = lambda: sw_pallas_forward(*args, indel_init=False,
-                                        with_traceback=True)[0]
+        tchar, qp, tl, ql = prepare_inputs_banded(tbuf, tlen, qbuf, qlen)
+        args = (jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
+                jnp.asarray(ql), 25, -50, 110, 6)
+        run = lambda: sw_pallas_banded(*args, indel_init=False)[0]
     else:
+        tchar, qp, tl, ql = prepare_inputs(tbuf, tlen, qbuf, qlen)
+        args = (jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
+                jnp.asarray(ql), 25, -50, 110, 6)
         run = lambda: sw_pallas_scores(*args, indel_init=False)
     _sync(run())  # compile + warm
     best = float("inf")

@@ -87,7 +87,7 @@ class SmithWatermanAligner:
 
         impl = self.impl if self.impl != "auto" else _default_impl()
         if impl == "pallas":
-            from mgl_tpu.kernels.sw_pallas import align_batch as backend
+            from mgl_tpu.kernels.sw_pallas import align_batch_banded as backend
         else:
             backend = sw_ops.align_batch
         results: list[SWResult | None] = [None] * len(refs)

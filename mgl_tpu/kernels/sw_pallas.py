@@ -244,6 +244,258 @@ def _sw_kernel(
             _dma_static(n_w - 2).wait()
 
 
+_SW_BANDED_SEGMENTS = True
+
+
+def _sw_banded_kernel(
+    mt_ref, mm_ref, go_ref, ge_ref, tlo_ref, thi_ref,
+    tchar_ref, qpad_ref, tlen_ref, qlen_ref,
+    ez_ref, btr_ref,
+    carry_ref,                # (2, 3, Qcp, LANES) i32: A / ebit / H
+    pack_sl,                  # (2, BH, LANES) u32 DMA staging
+    dma_sem,
+    *,
+    BH: int, NB: int, NT: int, Qcp: int, QR: int, WPB: int,
+    indel_init: bool,
+):
+    """Banded staggered-wavefront SW with traceback + on-device ScoreMax.
+
+    Same banding as the PairHMM kernel (sublane s of band b = matrix row
+    b*BH+s+1, at column c = t-s+1 on step t) with SW's pre-combined
+    vertical-gap stream:
+        A(r,c)    = max(H(r,c) - open, E(r,c) - ext)
+        ebit(r,c) = 0 if H-open > E-ext else 4      (the E-extend nibble bit)
+    so the consumer's E(r,c) is just the injected roll of A(r-1,c).  One
+    (A, ebit, H) row per column crosses bands through the double-buffered
+    carry (A and ebit for E; H for the diagonal move).  Traceback nibbles
+    pack band-major: global word b*WPB + t//8, sublane s, nibble t%8;
+    pre-wavefront positions (t < s) are never read by the decoder.
+    """
+    w_match = mt_ref[0, 0]
+    w_mismatch = mm_ref[0, 0]
+    w_open = go_ref[0, 0]
+    w_ext = ge_ref[0, 0]
+    tile = pl.program_id(0)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (BH, LANES), 0)
+    row0 = row == 0
+    tlen_row = tlen_ref[0:1, :]
+    qlen_row = qlen_ref[0:1, :]
+    neg = jnp.full((BH, LANES), NEG, jnp.int32)
+    TRASH = Qcp - 1
+
+    def border_cols():
+        # H(0, c) for all carry columns c (row-0 boundary, sw.cpp:29-40)
+        c = jax.lax.broadcasted_iota(jnp.int32, (Qcp, LANES), 0)
+        if indel_init:
+            return jnp.where(c >= 1, -w_open - (c - 1) * w_ext, 0)
+        return c * 0
+
+    bc = border_cols()
+    carry_ref[0:1, 0:1] = (bc - w_open)[None, None]    # A(0, c)
+    carry_ref[0:1, 1:2] = jnp.zeros((1, 1, Qcp, LANES), jnp.int32)
+    carry_ref[0:1, 2:3] = bc[None, None]               # H(0, c)
+    carry_ref[1:2] = jnp.zeros((1, 3, Qcp, LANES), jnp.int32)
+
+    def band(b, sm_carry):
+        r = pl.ds(b * BH, BH)
+        tch = tchar_ref[r]
+        rd = b % 2
+        wr = (b + 1) % 2
+        row_abs = row + b * BH + 1
+        zero = jnp.minimum(tch, 0)       # data-dependent zero (layout anchor)
+        if indel_init:
+            border_rows = -w_open - (row_abs - 1) * w_ext + zero  # H(r, 0)
+        else:
+            border_rows = zero
+        mask_last = row_abs == tlen_row
+        s_star = tlen_row - 1 - b * BH          # tlen's sublane in this band
+        in_band_lr = (s_star >= 0) & (s_star < BH)
+
+        def cread(plane, idx):
+            return carry_ref[pl.ds(rd, 1), pl.ds(plane, 1),
+                             pl.ds(idx, 1)][0, 0]
+
+        h_un = border_rows                 # column-0 state
+        f_un = zero + NEG
+        br_up = pltpu.roll(h_un, 1, 0)     # border(r-1) per sublane
+        # H(r0-1, 0): column-0 boundary of the row above the band (col 0 is
+        # never carried, so compute it: border(b*BH), with border(0) = 0)
+        if indel_init:
+            h00 = jnp.where(b == 0, 0, -w_open - (b * BH - 1) * w_ext)
+        else:
+            h00 = jnp.int32(0)
+        a_p = jnp.where(row0, cread(0, 1), h_un - w_open)
+        eb_p = jnp.where(row0, cread(1, 1), zero)
+        h_sh_p = jnp.where(row0, cread(2, 1), br_up)
+        h_sh_pp = jnp.where(row0, zero + h00, br_up)
+        qd = jnp.where(row0, qpad_ref[0:1, :], zero)
+        word0 = zero.astype(jnp.uint32)
+
+        def step(t, carry, *, sample: bool, ramp: bool):
+            (h_un, f_un, a_p, eb_p, h_sh_p, h_sh_pp, qd, word_acc,
+             mqe, mqe_t, rmax, rdist, rj) = carry
+
+            e_cur = a_p                                 # E(r,c) = A(r-1,c)
+            open_h = h_un - w_open
+            ext_h = f_un - w_ext
+            open_wins_h = open_h > ext_h                # strict > (sw.cpp:84)
+            f_cur = jnp.where(open_wins_h, open_h, ext_h)
+
+            sub = jnp.where(qd == tch, w_match, w_mismatch)
+            diag_sc = h_sh_pp + sub
+            is_diag = (diag_sc >= e_cur) & (diag_sc >= f_cur)
+            ins_over_del = f_cur >= e_cur
+            h_cur = jnp.where(is_diag, diag_sc,
+                              jnp.where(ins_over_del, f_cur, e_cur))
+
+            # A production for the row below (already carries its bit)
+            open_v = h_cur - w_open
+            ext_v = e_cur - w_ext
+            open_wins_v = open_v > ext_v                # strict > (sw.cpp:73)
+            a_cur = jnp.where(open_wins_v, open_v, ext_v)
+            eb_cur = jnp.where(open_wins_v, 0, 4)
+
+            # nibble: move | ebit | fbit (pre-wavefront positions unread)
+            nib = (jnp.where(is_diag, 0, jnp.where(ins_over_del, 1, 2))
+                   | eb_p | jnp.where(open_wins_h, 0, 8)).astype(jnp.uint32)
+
+            if ramp:
+                # pre-wavefront cells (c <= 0) must hold the column-0
+                # boundary so the wavefront reads it on activation
+                pre = (row + zero) > t
+                h_cur = jnp.where(pre, border_rows, h_cur)
+                f_cur = jnp.where(pre, NEG + zero, f_cur)
+                a_cur = jnp.where(pre, border_rows - w_open, a_cur)
+                eb_cur = jnp.where(pre, zero, eb_cur)
+
+            if sample:
+                # last column (i ascending over t: '>=' rule); the sampled
+                # sublane must live in THIS band or the empty-masked sum
+                # would inject a spurious 0
+                s_lc = t + 1 - qlen_row
+                lc_mask = row == s_lc
+                lc_val = jnp.sum(jnp.where(lc_mask, h_cur, 0), axis=0,
+                                 keepdims=True)
+                i_lc = t + 2 + b * BH - qlen_row
+                lc_ok = ((s_lc >= 0) & (s_lc < BH)
+                         & (i_lc >= 1) & (i_lc <= tlen_row))
+                take = lc_ok & (lc_val >= mqe)
+                mqe = jnp.where(take, lc_val, mqe)
+                mqe_t = jnp.where(take, i_lc, mqe_t)
+                # last row (j ascending: '>' or equal-and-closer rule)
+                lr_val = jnp.sum(jnp.where(mask_last, h_cur, 0), axis=0,
+                                 keepdims=True)
+                j_lr = t + 2 + b * BH - tlen_row
+                lr_ok = (in_band_lr & (j_lr >= 1) & (j_lr <= qlen_row))
+                dist = jnp.abs(tlen_row - j_lr)
+                rtake = lr_ok & ((lr_val > rmax)
+                                 | ((lr_val == rmax) & (dist < rdist)))
+                rmax = jnp.where(rtake, lr_val, rmax)
+                rdist = jnp.where(rtake, dist, rdist)
+                rj = jnp.where(rtake, j_lr, rj)
+
+            # pack nibbles; flush per 8 steps (double-buffered DMA)
+            phase = t % 8
+            w = t // 8
+            gw = b * WPB + w
+            slot = gw % 2
+            word_acc = jnp.where(phase == 0, nib,
+                                 word_acc | (nib << (phase * 4).astype(jnp.uint32)))
+            flush = (phase == 7) | (t == NT - 1)
+
+            def _dma(word_idx, slot_idx):
+                return pltpu.make_async_copy(
+                    pack_sl.at[pl.ds(slot_idx, 1)],
+                    btr_ref.at[pl.ds(word_idx, 1), :,
+                               pl.ds(tile * LANES, LANES)],
+                    dma_sem.at[slot_idx],
+                )
+
+            @pl.when(flush & (gw >= 2))
+            def _reuse():
+                _dma(gw - 2, slot).wait()
+
+            @pl.when(flush)
+            def _flush():
+                pack_sl[pl.ds(slot, 1)] = word_acc[None]
+                _dma(gw, slot).start()
+
+            # rolled streams + inter-band carry I/O
+            a_sh = pltpu.roll(a_cur, 1, 0)
+            eb_sh = pltpu.roll(eb_cur, 1, 0)
+            h_sh = pltpu.roll(h_cur, 1, 0)
+            st = t - BH + 2
+            st = jnp.where(st >= 1, st, TRASH)
+            carry_ref[pl.ds(wr, 1), 0:1, pl.ds(st, 1)] = a_sh[0:1][None, None]
+            carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = eb_sh[0:1][None, None]
+            carry_ref[pl.ds(wr, 1), 2:3, pl.ds(st, 1)] = h_sh[0:1][None, None]
+            ld = jnp.minimum(t + 2, Qcp - 1)
+            a_sh = jnp.where(row0, cread(0, ld), a_sh)
+            eb_sh = jnp.where(row0, cread(1, ld), eb_sh)
+            h_sh = jnp.where(row0, cread(2, ld), h_sh)
+
+            qrow = qpad_ref[pl.ds(jnp.minimum(t + 1, QR - 1), 1), :]
+            qd = jnp.where(row0, qrow, pltpu.roll(qd, 1, 0))
+
+            return (h_cur, f_cur, a_sh, eb_sh, h_sh, h_sh_p, qd, word_acc,
+                    mqe, mqe_t, rmax, rdist, rj)
+
+        t_lo = jnp.maximum(jnp.clip(tlo_ref[b, tile], 0, NT),
+                           jnp.int32(min(BH - 1, NT)))
+        t_hi = jnp.clip(thi_ref[b, tile], t_lo, NT)
+        carry = (h_un, f_un, a_p, eb_p, h_sh_p, h_sh_pp, qd, word0,
+                 *sm_carry)
+        if _SW_BANDED_SEGMENTS:
+            carry = jax.lax.fori_loop(
+                0, min(BH - 1, NT),
+                functools.partial(step, sample=True, ramp=True), carry)
+            carry = jax.lax.fori_loop(
+                min(BH - 1, NT), t_lo,
+                functools.partial(step, sample=False, ramp=False), carry)
+            carry = jax.lax.fori_loop(
+                t_lo, t_hi, functools.partial(step, sample=True, ramp=False),
+                carry)
+            carry = jax.lax.fori_loop(
+                t_hi, NT, functools.partial(step, sample=False, ramp=False),
+                carry)
+        else:
+            carry = jax.lax.fori_loop(
+                0, NT, functools.partial(step, sample=True, ramp=True),
+                carry)
+        return carry[-5:]
+
+    one = jnp.ones((1, LANES), jnp.int32)
+    sm0 = (jnp.full((1, LANES), NEG, jnp.int32), one,
+           jnp.full((1, LANES), NEG, jnp.int32),
+           jnp.full((1, LANES), 0x3FFFFFFF, jnp.int32), one)
+    mqe, mqe_t, rmax, rdist, rj = jax.lax.fori_loop(0, NB, band, sm0)
+
+    mqe_dist = jnp.abs(mqe_t - qlen_row)
+    row_wins = (rmax > mqe) | ((rmax == mqe) & (rdist < mqe_dist))
+    ez_ref[0:1] = mqe
+    ez_ref[1:2] = mqe_t
+    ez_ref[2:3] = jnp.where(row_wins, rmax, mqe)
+    ez_ref[3:4] = jnp.where(row_wins, tlen_row, mqe_t)
+    ez_ref[4:5] = jnp.where(row_wins, rj, qlen_row)
+    ez_ref[5:6] = jnp.where(row_wins, qlen_row - rj, 0)
+
+    # drain the last two in-flight flushes
+    G = NB * WPB
+
+    def _dma_static(word_idx):
+        return pltpu.make_async_copy(
+            pack_sl.at[pl.ds(word_idx % 2, 1)],
+            btr_ref.at[pl.ds(word_idx, 1), :,
+                       pl.ds(tile * LANES, LANES)],
+            dma_sem.at[word_idx % 2],
+        )
+
+    _dma_static(G - 1).wait()
+    if G >= 2:
+        _dma_static(G - 2).wait()
+
+
 def _sw_score_kernel(
     mt_ref, mm_ref, go_ref, ge_ref, dmin_ref,
     tchar_ref, qpad_ref, tlen_ref, qlen_ref,
@@ -475,6 +727,172 @@ def sw_pallas_forward(
         return ez, btr
     lc, lr = outs
     return lc, lr, None
+
+
+@functools.partial(jax.jit, static_argnames=("indel_init", "band"))
+def sw_pallas_banded(
+    tchar_b,  # (Rb, Bp) int32 target chars (row k = matrix row k+1)
+    qpad,     # (QR, Bp) int32 query chars (row t = query base t), QR = Q+BH
+    tlen,     # (1, Bp) int32
+    qlen,     # (1, Bp) int32
+    match, mismatch, gap_open, gap_ext,
+    *,
+    indel_init: bool,
+    band: int = 32,
+):
+    """Banded SW forward with traceback.  Returns (ez, btr):
+      ez:  (6, Bp) int32 — mqe, mqe_t, max, max_t, max_q, seg_length
+      btr: (NB*WPB, BH, Bp) uint32 band-major nibble words: cell (i, j) of
+           band b=(i-1)//BH, sublane s=(i-1)%BH at t=j-1+s lives in word
+           b*WPB + t//8, nibble t%8.
+    """
+    Rb, Bp = tchar_b.shape
+    QR = qpad.shape[0]
+    BH = band
+    NB = Rb // BH
+    Q = QR - BH
+    NT = Q + BH - 1
+    Qcp = _round_up(Q + BH + 4, 8)
+    WPB = (NT + 7) // 8
+    G = NB * WPB
+    n_tiles = Bp // LANES
+
+    # per-(band, tile) ScoreMax sampling windows
+    tl = tlen[0].astype(jnp.int32)
+    ql = qlen[0].astype(jnp.int32)
+    bidx = jnp.arange(NB, dtype=jnp.int32)[:, None]
+    srem = tl[None, :] - 1 - bidx * BH           # rows of tlen rel. to band
+    lc_valid = (srem >= 0) & (ql[None, :] >= 1)
+    lc_lo = jnp.broadcast_to(ql[None, :] - 1, srem.shape)
+    lc_hi = ql[None, :] + jnp.minimum(BH - 1, srem) + 1
+    lr_valid = (srem >= 0) & (srem < BH)
+    lr_lo = srem
+    lr_hi = srem + ql[None, :]
+    BIG = jnp.int32(0x7FFFFFF)
+    lane_lo = jnp.minimum(jnp.where(lc_valid, lc_lo, BIG),
+                          jnp.where(lr_valid, lr_lo, BIG))
+    lane_hi = jnp.maximum(jnp.where(lc_valid, lc_hi, 0),
+                          jnp.where(lr_valid, lr_hi, 0))
+    tlo = jnp.min(lane_lo.reshape(NB, n_tiles, LANES), axis=2)
+    thi = jnp.max(lane_hi.reshape(NB, n_tiles, LANES), axis=2)
+
+    kernel = functools.partial(
+        _sw_banded_kernel, BH=BH, NB=NB, NT=NT, Qcp=Qcp, QR=QR, WPB=WPB,
+        indel_init=indel_init)
+    col = lambda i: (0, i)
+    scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    sm = pl.BlockSpec((NB, n_tiles), lambda i: (0, 0),
+                      memory_space=pltpu.SMEM)
+    ez, btr = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            scalar, scalar, scalar, scalar, sm, sm,
+            pl.BlockSpec((Rb, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((QR, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((6, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((6, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((G, BH, Bp), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, Qcp, LANES), jnp.int32),
+            pltpu.VMEM((2, BH, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(
+        jnp.asarray([[match]], jnp.int32), jnp.asarray([[mismatch]], jnp.int32),
+        jnp.asarray([[gap_open]], jnp.int32), jnp.asarray([[gap_ext]], jnp.int32),
+        tlo.astype(jnp.int32), thi.astype(jnp.int32),
+        tchar_b, qpad, tlen, qlen,
+    )
+    return ez, btr
+
+
+def prepare_inputs_banded(targets: np.ndarray, tlen: np.ndarray,
+                          queries: np.ndarray, qlen: np.ndarray,
+                          band: int = 32):
+    """(B, T)/(B, Q) batches -> lane-major arrays for sw_pallas_banded."""
+    B, T = targets.shape
+    Q = queries.shape[1]
+    Bp = _round_up(max(B, 1), LANES)
+    Rb = _round_up(max(T, 1), band)
+    QR = _round_up(Q + band, 8)
+
+    tchar = np.zeros((Rb, Bp), np.int32)
+    tchar[:T, :B] = targets.T
+    qp = np.zeros((QR, Bp), np.int32)
+    qp[:Q, :B] = queries.T
+    tl = np.zeros((1, Bp), np.int32)
+    tl[0, :B] = tlen
+    ql = np.ones((1, Bp), np.int32)
+    ql[0, :B] = qlen
+    return tchar, qp, tl, ql
+
+
+def align_batch_banded(
+    targets: list[bytes],
+    queries: list[bytes],
+    params,
+    strategy,
+    band: int = 32,
+) -> list[tuple[str, int]]:
+    """align_batch through the banded kernel (band-major nibble decode)."""
+    from mgl_tpu.core.params import OverhangStrategy
+    from mgl_tpu.ops.cigar import decode_nib_fn
+
+    B = len(targets)
+    tlen = np.array([len(t) for t in targets], dtype=np.int32)
+    qlen = np.array([len(q) for q in queries], dtype=np.int32)
+    T, Q = int(tlen.max()), int(qlen.max())
+    tbuf = np.zeros((B, T), dtype=np.int32)
+    qbuf = np.zeros((B, Q), dtype=np.int32)
+    for i, (t, q) in enumerate(zip(targets, queries)):
+        tbuf[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+        qbuf[i, : len(q)] = np.frombuffer(q, dtype=np.uint8)
+
+    tchar, qp, tl, ql = prepare_inputs_banded(tbuf, tlen, qbuf, qlen, band)
+    indel_init = bool(
+        strategy & (OverhangStrategy.INDEL | OverhangStrategy.LEADING_INDEL))
+    ez_dev, btr = sw_pallas_banded(
+        jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl), jnp.asarray(ql),
+        params.match, params.mismatch, params.gap_open, params.gap_extend,
+        indel_init=indel_init, band=band)
+    ez_np = np.asarray(ez_dev)[:, :B].astype(np.int64)
+    ez = dict(zip(("mqe", "mqe_t", "max", "max_t", "max_q", "seg_length"),
+                  ez_np))
+    btr = np.asarray(btr)
+    QR = qp.shape[0]
+    WPB = (QR - band + band - 1 + 7) // 8
+
+    from mgl_tpu.native import cigar_decode_bulk_banded
+
+    words = np.ascontiguousarray(btr[:, :, :B].transpose(2, 0, 1))
+    native = cigar_decode_bulk_banded(words, ez, tlen, qlen, int(strategy),
+                                      band, WPB)
+    if native is not None:
+        return native
+
+    out = []
+    for b in range(B):
+        wb = btr[:, :, b]
+
+        def nib(i, j, wb=wb):
+            s = (i - 1) % band
+            t = (j - 1) + s
+            g = ((i - 1) // band) * WPB + (t >> 3)
+            return (int(wb[g, s]) >> ((t & 7) * 4)) & 0xF
+
+        ez_b = {k: v[b] for k, v in ez.items()}
+        out.append(decode_nib_fn(nib, ez_b, int(tlen[b]), int(qlen[b]),
+                                 strategy))
+    return out
 
 
 def align_batch(

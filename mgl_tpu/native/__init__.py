@@ -70,6 +70,13 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
     ]
+    lib.cigar_decode_batch_banded.argtypes = [
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
     lib.score_max_batch.argtypes = [ctypes.c_int32] + [ctypes.c_void_p] * 2 + [
         ctypes.c_int64] + [ctypes.c_void_p] * 3 + [ctypes.c_void_p] * 6
     _lib = lib
@@ -159,6 +166,41 @@ def cigar_decode_bulk(words: np.ndarray, ez: dict, tlen: np.ndarray,
         _ptr(mx_t), _ptr(mx_q), _ptr(seg), _ptr(mq_t),
         _ptr(cigars), cap, _ptr(offsets),
         n_threads or min(8, os.cpu_count() or 1),
+    )
+    out = []
+    for b in range(B):
+        row = cigars[b]
+        n = int(np.argmax(row == 0))
+        out.append((row[:n].tobytes().decode(), int(offsets[b])))
+    return out
+
+
+def cigar_decode_bulk_banded(words: np.ndarray, ez: dict, tlen: np.ndarray,
+                             qlen: np.ndarray, strategy: int,
+                             band_h: int, words_per_band: int,
+                             n_threads: int | None = None):
+    """Bulk decode for the banded kernel layout.  words: (B, G, band_h)
+    contiguous uint32 with G = n_bands * words_per_band.  Returns
+    list[(cigar, offset)] or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = words.shape[0]
+    cap = 16 * max(int(tlen.max()), int(qlen.max())) + 16
+    cigars = np.zeros((B, cap), np.uint8)
+    offsets = np.zeros(B, np.int32)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    tl, ql = i32(tlen), i32(qlen)
+    mx_t, mx_q = i32(ez["max_t"]), i32(ez["max_q"])
+    seg, mq_t = i32(ez["seg_length"]), i32(ez["mqe_t"])
+    words = np.ascontiguousarray(words, np.uint32)
+    lib.cigar_decode_batch_banded(
+        B, _ptr(words), words.shape[1] * words.shape[2], words.shape[2],
+        _ptr(tl), _ptr(ql), int(strategy),
+        _ptr(mx_t), _ptr(mx_q), _ptr(seg), _ptr(mq_t),
+        _ptr(cigars), cap, _ptr(offsets),
+        n_threads or min(8, os.cpu_count() or 1),
+        int(band_h), int(words_per_band),
     )
     out = []
     for b in range(B):

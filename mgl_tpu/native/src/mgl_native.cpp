@@ -118,13 +118,23 @@ void pairhmm_f64_batch(
 struct Seg { char state; int32_t len; };
 
 static int decode_one(
-    const uint32_t* words,   // (n_words, r1p) for ONE pair, row-major
-    int64_t word_row_stride, // elements between word rows (= r1p)
+    const uint32_t* words,   // ONE pair: (n_words, r1p) diag-major, or
+                             // (nb*words_per_band, band_h) band-major
+    int64_t word_row_stride, // elements between word rows (r1p or band_h)
     int32_t tlen, int32_t qlen, int32_t strategy,
     int32_t max_t, int32_t max_q, int32_t seg_length, int32_t mqe_t,
-    char* cigar_out, int32_t cigar_cap, int32_t* offset_out)
+    char* cigar_out, int32_t cigar_cap, int32_t* offset_out,
+    int32_t band_h = 0, int32_t words_per_band = 0)
 {
     auto nib = [&](int32_t i, int32_t j) -> uint32_t {
+        if (band_h > 0) {
+            // banded layout: band (i-1)/band_h, sublane s=(i-1)%band_h,
+            // step t=(j-1)+s -> word band*words_per_band + t/8, nibble t%8
+            int32_t s = (i - 1) % band_h;
+            int32_t t = (j - 1) + s;
+            int64_t g = (int64_t)((i - 1) / band_h) * words_per_band + (t >> 3);
+            return (words[g * word_row_stride + s] >> ((t & 7) * 4)) & 0xF;
+        }
         int32_t k = i + j - 2;
         return (words[(int64_t)(k >> 3) * word_row_stride + i] >> ((k & 7) * 4)) & 0xF;
     };
@@ -202,6 +212,33 @@ static int decode_one(
 // diag-word major).  Per pair b we pass a lane-strided view — to keep the
 // inner loop simple the caller passes lane-deinterleaved copies instead:
 // words_b = words[:, :, b] contiguous (n_words, r1p).
+static void decode_batch_impl(
+    int32_t n_pairs,
+    const uint32_t* words, int64_t pair_stride, int64_t word_row_stride,
+    const int32_t* tlen, const int32_t* qlen, int32_t strategy,
+    const int32_t* max_t, const int32_t* max_q,
+    const int32_t* seg_length, const int32_t* mqe_t,
+    char* cigars_out, int32_t cigar_cap, int32_t* offsets_out,
+    int32_t n_threads, int32_t band_h, int32_t words_per_band)
+{
+    std::atomic<int32_t> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            int32_t i = next.fetch_add(1);
+            if (i >= n_pairs) return;
+            decode_one(words + (int64_t)i * pair_stride, word_row_stride,
+                       tlen[i], qlen[i], strategy,
+                       max_t[i], max_q[i], seg_length[i], mqe_t[i],
+                       cigars_out + (int64_t)i * cigar_cap, cigar_cap,
+                       offsets_out + i, band_h, words_per_band);
+        }
+    };
+    if (n_threads <= 1) { worker(); return; }
+    std::vector<std::thread> pool;
+    for (int32_t k = 0; k < n_threads; k++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+}
+
 void cigar_decode_batch(
     int32_t n_pairs,
     const uint32_t* words,      // (n_pairs, n_words, r1p) contiguous
@@ -215,22 +252,26 @@ void cigar_decode_batch(
     int32_t* offsets_out,
     int32_t n_threads)
 {
-    std::atomic<int32_t> next(0);
-    auto worker = [&]() {
-        for (;;) {
-            int32_t i = next.fetch_add(1);
-            if (i >= n_pairs) return;
-            decode_one(words + (int64_t)i * pair_stride, word_row_stride,
-                       tlen[i], qlen[i], strategy,
-                       max_t[i], max_q[i], seg_length[i], mqe_t[i],
-                       cigars_out + (int64_t)i * cigar_cap, cigar_cap,
-                       offsets_out + i);
-        }
-    };
-    if (n_threads <= 1) { worker(); return; }
-    std::vector<std::thread> pool;
-    for (int32_t k = 0; k < n_threads; k++) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
+    decode_batch_impl(n_pairs, words, pair_stride, word_row_stride,
+                      tlen, qlen, strategy, max_t, max_q, seg_length, mqe_t,
+                      cigars_out, cigar_cap, offsets_out, n_threads, 0, 0);
+}
+
+void cigar_decode_batch_banded(
+    int32_t n_pairs,
+    const uint32_t* words,      // (n_pairs, nb*words_per_band, band_h)
+    int64_t pair_stride,
+    int64_t word_row_stride,    // = band_h
+    const int32_t* tlen, const int32_t* qlen, int32_t strategy,
+    const int32_t* max_t, const int32_t* max_q,
+    const int32_t* seg_length, const int32_t* mqe_t,
+    char* cigars_out, int32_t cigar_cap, int32_t* offsets_out,
+    int32_t n_threads, int32_t band_h, int32_t words_per_band)
+{
+    decode_batch_impl(n_pairs, words, pair_stride, word_row_stride,
+                      tlen, qlen, strategy, max_t, max_q, seg_length, mqe_t,
+                      cigars_out, cigar_cap, offsets_out, n_threads,
+                      band_h, words_per_band);
 }
 
 // ---------------------------------------------------------------------------

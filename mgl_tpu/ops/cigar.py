@@ -98,18 +98,29 @@ def decode_packed_one(
     qlen: int,
     strategy: OverhangStrategy,
 ) -> tuple[str, int]:
-    """CIGAR decode from the Pallas kernel's 4-bit traceback.
-
-    Nibble layout (kernels/sw_pallas.py): bits0-1 move (0 diag / 1 INS /
-    2 DEL), bit2 E-extend, bit3 F-extend; 8 diagonals per uint32 word,
-    diagonal d at word (d-2)//8 nibble (d-2)%8.  Run lengths are rebuilt by
-    walking the extend bits, which reproduces the reference's gap-run
-    counters (sw.cpp:73-93) exactly.
-    """
+    """CIGAR decode from the plane Pallas kernel's 4-bit traceback
+    (diag-major: diagonal d at word (d-2)//8, nibble (d-2)%8, row i)."""
     def nib(i, j):
         k = i + j - 2
         return (int(words[k >> 3, i]) >> ((k & 7) * 4)) & 0xF
 
+    return decode_nib_fn(nib, ez, tlen, qlen, strategy)
+
+
+def decode_nib_fn(
+    nib,                    # callable (i, j) -> 4-bit traceback nibble
+    ez: dict,
+    tlen: int,
+    qlen: int,
+    strategy: OverhangStrategy,
+) -> tuple[str, int]:
+    """CIGAR decode from a 4-bit traceback accessor.
+
+    Nibble semantics (kernels/sw_pallas.py): bits0-1 move (0 diag / 1 INS /
+    2 DEL), bit2 E-extend, bit3 F-extend.  Run lengths are rebuilt by
+    walking the extend bits, which reproduces the reference's gap-run
+    counters (sw.cpp:73-93) exactly.
+    """
     segment_length = 0
     if strategy == OverhangStrategy.INDEL:
         I, J = tlen, qlen

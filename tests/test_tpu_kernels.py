@@ -78,11 +78,14 @@ def test_pairhmm_kat_through_engine(tpu_backend, pairhmm_kat):
         assert abs(lik[0, 0] - case["expected_log10"]) < 1e-5, case
 
 
-def test_sw_pallas_golden_cigars(tpu_backend, sw_golden):
+@pytest.mark.parametrize("backend", ["banded", "plane"])
+def test_sw_pallas_golden_cigars(tpu_backend, sw_golden, backend):
     """Pallas SW must emit the reference CIGAR/offset exactly."""
     from mgl_tpu.core.params import OverhangStrategy, SWParameters
-    from mgl_tpu.kernels.sw_pallas import align_batch
+    from mgl_tpu.kernels import sw_pallas
 
+    align_batch = (sw_pallas.align_batch_banded if backend == "banded"
+                   else sw_pallas.align_batch)
     cases = sw_golden[:400]
     by_key = {}
     for c in cases:
