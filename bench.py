@@ -29,9 +29,8 @@ def _sync(x):
 def bench_sw(B=131072, T=150, Q=150, with_traceback=True, iters=6):
     import jax.numpy as jnp
 
-    from mgl_tpu.kernels.sw_pallas import (prepare_inputs,
-                                           prepare_inputs_banded,
-                                           sw_pallas_banded, sw_pallas_scores)
+    from mgl_tpu.kernels.sw_pallas import (prepare_inputs_banded,
+                                           sw_pallas_banded)
 
     rng = np.random.default_rng(0)
     tbuf = rng.integers(65, 85, size=(B, T)).astype(np.int32)
@@ -41,16 +40,11 @@ def bench_sw(B=131072, T=150, Q=150, with_traceback=True, iters=6):
     tlen = np.full(B, T, np.int32)
     qlen = np.full(B, Q, np.int32)
 
-    if with_traceback:
-        tchar, qp, tl, ql = prepare_inputs_banded(tbuf, tlen, qbuf, qlen)
-        args = (jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
-                jnp.asarray(ql), 25, -50, 110, 6)
-        run = lambda: sw_pallas_banded(*args, indel_init=False)[0]
-    else:
-        tchar, qp, tl, ql = prepare_inputs(tbuf, tlen, qbuf, qlen)
-        args = (jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
-                jnp.asarray(ql), 25, -50, 110, 6)
-        run = lambda: sw_pallas_scores(*args, indel_init=False)
+    tchar, qp, tl, ql = prepare_inputs_banded(tbuf, tlen, qbuf, qlen)
+    args = (jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
+            jnp.asarray(ql), 25, -50, 110, 6)
+    run = lambda: sw_pallas_banded(*args, indel_init=False,
+                                   with_traceback=with_traceback)[0]
     _sync(run())  # compile + warm
     best = float("inf")
     for _ in range(3):

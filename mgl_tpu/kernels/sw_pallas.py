@@ -248,15 +248,9 @@ _SW_BANDED_SEGMENTS = True
 
 
 def _sw_banded_kernel(
-    mt_ref, mm_ref, go_ref, ge_ref, tlo_ref, thi_ref,
-    tchar_ref, qpad_ref, tlen_ref, qlen_ref,
-    ez_ref, btr_ref,
-    carry_ref,                # (2, 3, Qcp, LANES) i32: A / ebit / H
-    pack_sl,                  # (2, BH, LANES) u32 DMA staging
-    dma_sem,
-    *,
+    *refs,
     BH: int, NB: int, NT: int, Qcp: int, QR: int, WPB: int,
-    indel_init: bool,
+    indel_init: bool, with_traceback: bool = True,
 ):
     """Banded staggered-wavefront SW with traceback + on-device ScoreMax.
 
@@ -271,6 +265,16 @@ def _sw_banded_kernel(
     pack band-major: global word b*WPB + t//8, sublane s, nibble t%8;
     pre-wavefront positions (t < s) are never read by the decoder.
     """
+    (mt_ref, mm_ref, go_ref, ge_ref, tlo_ref, thi_ref,
+     tchar_ref, qpad_ref, tlen_ref, qlen_ref) = refs[:10]
+    if with_traceback:
+        # outs: ez, btr; scratch: carry (2,3,Qcp,L): A/ebit/H, DMA staging
+        ez_ref, btr_ref, carry_ref, pack_sl, dma_sem = refs[10:]
+    else:
+        # outs: ez; scratch: carry (2,2,Qcp,L): A/H
+        ez_ref, carry_ref = refs[10:]
+        btr_ref = pack_sl = dma_sem = None
+    HPLANE = 2 if with_traceback else 1     # carry plane index of H
     w_match = mt_ref[0, 0]
     w_mismatch = mm_ref[0, 0]
     w_open = go_ref[0, 0]
@@ -281,7 +285,6 @@ def _sw_banded_kernel(
     row0 = row == 0
     tlen_row = tlen_ref[0:1, :]
     qlen_row = qlen_ref[0:1, :]
-    neg = jnp.full((BH, LANES), NEG, jnp.int32)
     TRASH = Qcp - 1
 
     def border_cols():
@@ -292,10 +295,12 @@ def _sw_banded_kernel(
         return c * 0
 
     bc = border_cols()
+    NP = 3 if with_traceback else 2
     carry_ref[0:1, 0:1] = (bc - w_open)[None, None]    # A(0, c)
-    carry_ref[0:1, 1:2] = jnp.zeros((1, 1, Qcp, LANES), jnp.int32)
-    carry_ref[0:1, 2:3] = bc[None, None]               # H(0, c)
-    carry_ref[1:2] = jnp.zeros((1, 3, Qcp, LANES), jnp.int32)
+    if with_traceback:
+        carry_ref[0:1, 1:2] = jnp.zeros((1, 1, Qcp, LANES), jnp.int32)
+    carry_ref[0:1, HPLANE:HPLANE + 1] = bc[None, None]  # H(0, c)
+    carry_ref[1:2] = jnp.zeros((1, NP, Qcp, LANES), jnp.int32)
 
     def band(b, sm_carry):
         r = pl.ds(b * BH, BH)
@@ -326,8 +331,8 @@ def _sw_banded_kernel(
         else:
             h00 = jnp.int32(0)
         a_p = jnp.where(row0, cread(0, 1), h_un - w_open)
-        eb_p = jnp.where(row0, cread(1, 1), zero)
-        h_sh_p = jnp.where(row0, cread(2, 1), br_up)
+        eb_p = jnp.where(row0, cread(1, 1), zero) if with_traceback else zero
+        h_sh_p = jnp.where(row0, cread(HPLANE, 1), br_up)
         h_sh_pp = jnp.where(row0, zero + h00, br_up)
         qd = jnp.where(row0, qpad_ref[0:1, :], zero)
         word0 = zero.astype(jnp.uint32)
@@ -339,26 +344,36 @@ def _sw_banded_kernel(
             e_cur = a_p                                 # E(r,c) = A(r-1,c)
             open_h = h_un - w_open
             ext_h = f_un - w_ext
-            open_wins_h = open_h > ext_h                # strict > (sw.cpp:84)
-            f_cur = jnp.where(open_wins_h, open_h, ext_h)
+            if with_traceback:
+                open_wins_h = open_h > ext_h            # strict > (sw.cpp:84)
+                f_cur = jnp.where(open_wins_h, open_h, ext_h)
+            else:
+                f_cur = jnp.maximum(open_h, ext_h)
 
             sub = jnp.where(qd == tch, w_match, w_mismatch)
             diag_sc = h_sh_pp + sub
-            is_diag = (diag_sc >= e_cur) & (diag_sc >= f_cur)
-            ins_over_del = f_cur >= e_cur
-            h_cur = jnp.where(is_diag, diag_sc,
-                              jnp.where(ins_over_del, f_cur, e_cur))
+            if with_traceback:
+                is_diag = (diag_sc >= e_cur) & (diag_sc >= f_cur)
+                ins_over_del = f_cur >= e_cur
+                h_cur = jnp.where(is_diag, diag_sc,
+                                  jnp.where(ins_over_del, f_cur, e_cur))
+            else:
+                h_cur = jnp.maximum(diag_sc, jnp.maximum(e_cur, f_cur))
 
             # A production for the row below (already carries its bit)
             open_v = h_cur - w_open
             ext_v = e_cur - w_ext
-            open_wins_v = open_v > ext_v                # strict > (sw.cpp:73)
-            a_cur = jnp.where(open_wins_v, open_v, ext_v)
-            eb_cur = jnp.where(open_wins_v, 0, 4)
-
-            # nibble: move | ebit | fbit (pre-wavefront positions unread)
-            nib = (jnp.where(is_diag, 0, jnp.where(ins_over_del, 1, 2))
-                   | eb_p | jnp.where(open_wins_h, 0, 8)).astype(jnp.uint32)
+            if with_traceback:
+                open_wins_v = open_v > ext_v            # strict > (sw.cpp:73)
+                a_cur = jnp.where(open_wins_v, open_v, ext_v)
+                eb_cur = jnp.where(open_wins_v, 0, 4)
+                # nibble: move | ebit | fbit (pre-wavefront cells unread)
+                nib = (jnp.where(is_diag, 0, jnp.where(ins_over_del, 1, 2))
+                       | eb_p
+                       | jnp.where(open_wins_h, 0, 8)).astype(jnp.uint32)
+            else:
+                a_cur = jnp.maximum(open_v, ext_v)
+                eb_cur = eb_p
 
             if ramp:
                 # pre-wavefront cells (c <= 0) must hold the column-0
@@ -367,7 +382,8 @@ def _sw_banded_kernel(
                 h_cur = jnp.where(pre, border_rows, h_cur)
                 f_cur = jnp.where(pre, NEG + zero, f_cur)
                 a_cur = jnp.where(pre, border_rows - w_open, a_cur)
-                eb_cur = jnp.where(pre, zero, eb_cur)
+                if with_traceback:
+                    eb_cur = jnp.where(pre, zero, eb_cur)
 
             if sample:
                 # last column (i ascending over t: '>=' rule); the sampled
@@ -395,45 +411,53 @@ def _sw_banded_kernel(
                 rdist = jnp.where(rtake, dist, rdist)
                 rj = jnp.where(rtake, j_lr, rj)
 
-            # pack nibbles; flush per 8 steps (double-buffered DMA)
-            phase = t % 8
-            w = t // 8
-            gw = b * WPB + w
-            slot = gw % 2
-            word_acc = jnp.where(phase == 0, nib,
-                                 word_acc | (nib << (phase * 4).astype(jnp.uint32)))
-            flush = (phase == 7) | (t == NT - 1)
+            if with_traceback:
+                # pack nibbles; flush per 8 steps (double-buffered DMA)
+                phase = t % 8
+                w = t // 8
+                gw = b * WPB + w
+                slot = gw % 2
+                word_acc = jnp.where(
+                    phase == 0, nib,
+                    word_acc | (nib << (phase * 4).astype(jnp.uint32)))
+                flush = (phase == 7) | (t == NT - 1)
 
-            def _dma(word_idx, slot_idx):
-                return pltpu.make_async_copy(
-                    pack_sl.at[pl.ds(slot_idx, 1)],
-                    btr_ref.at[pl.ds(word_idx, 1), :,
-                               pl.ds(tile * LANES, LANES)],
-                    dma_sem.at[slot_idx],
-                )
+                def _dma(word_idx, slot_idx):
+                    return pltpu.make_async_copy(
+                        pack_sl.at[pl.ds(slot_idx, 1)],
+                        btr_ref.at[pl.ds(word_idx, 1), :,
+                                   pl.ds(tile * LANES, LANES)],
+                        dma_sem.at[slot_idx],
+                    )
 
-            @pl.when(flush & (gw >= 2))
-            def _reuse():
-                _dma(gw - 2, slot).wait()
+                @pl.when(flush & (gw >= 2))
+                def _reuse():
+                    _dma(gw - 2, slot).wait()
 
-            @pl.when(flush)
-            def _flush():
-                pack_sl[pl.ds(slot, 1)] = word_acc[None]
-                _dma(gw, slot).start()
+                @pl.when(flush)
+                def _flush():
+                    pack_sl[pl.ds(slot, 1)] = word_acc[None]
+                    _dma(gw, slot).start()
 
             # rolled streams + inter-band carry I/O
             a_sh = pltpu.roll(a_cur, 1, 0)
-            eb_sh = pltpu.roll(eb_cur, 1, 0)
             h_sh = pltpu.roll(h_cur, 1, 0)
             st = t - BH + 2
             st = jnp.where(st >= 1, st, TRASH)
             carry_ref[pl.ds(wr, 1), 0:1, pl.ds(st, 1)] = a_sh[0:1][None, None]
-            carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = eb_sh[0:1][None, None]
-            carry_ref[pl.ds(wr, 1), 2:3, pl.ds(st, 1)] = h_sh[0:1][None, None]
+            if with_traceback:
+                eb_sh = pltpu.roll(eb_cur, 1, 0)
+                carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = \
+                    eb_sh[0:1][None, None]
+            else:
+                eb_sh = eb_cur
+            carry_ref[pl.ds(wr, 1), HPLANE:HPLANE + 1, pl.ds(st, 1)] = \
+                h_sh[0:1][None, None]
             ld = jnp.minimum(t + 2, Qcp - 1)
             a_sh = jnp.where(row0, cread(0, ld), a_sh)
-            eb_sh = jnp.where(row0, cread(1, ld), eb_sh)
-            h_sh = jnp.where(row0, cread(2, ld), h_sh)
+            if with_traceback:
+                eb_sh = jnp.where(row0, cread(1, ld), eb_sh)
+            h_sh = jnp.where(row0, cread(HPLANE, ld), h_sh)
 
             qrow = qpad_ref[pl.ds(jnp.minimum(t + 1, QR - 1), 1), :]
             qd = jnp.where(row0, qrow, pltpu.roll(qd, 1, 0))
@@ -480,20 +504,21 @@ def _sw_banded_kernel(
     ez_ref[4:5] = jnp.where(row_wins, rj, qlen_row)
     ez_ref[5:6] = jnp.where(row_wins, qlen_row - rj, 0)
 
-    # drain the last two in-flight flushes
-    G = NB * WPB
+    if with_traceback:
+        # drain the last two in-flight flushes
+        G = NB * WPB
 
-    def _dma_static(word_idx):
-        return pltpu.make_async_copy(
-            pack_sl.at[pl.ds(word_idx % 2, 1)],
-            btr_ref.at[pl.ds(word_idx, 1), :,
-                       pl.ds(tile * LANES, LANES)],
-            dma_sem.at[word_idx % 2],
-        )
+        def _dma_static(word_idx):
+            return pltpu.make_async_copy(
+                pack_sl.at[pl.ds(word_idx % 2, 1)],
+                btr_ref.at[pl.ds(word_idx, 1), :,
+                           pl.ds(tile * LANES, LANES)],
+                dma_sem.at[word_idx % 2],
+            )
 
-    _dma_static(G - 1).wait()
-    if G >= 2:
-        _dma_static(G - 2).wait()
+        _dma_static(G - 1).wait()
+        if G >= 2:
+            _dma_static(G - 2).wait()
 
 
 def _sw_score_kernel(
@@ -729,7 +754,8 @@ def sw_pallas_forward(
     return lc, lr, None
 
 
-@functools.partial(jax.jit, static_argnames=("indel_init", "band"))
+@functools.partial(jax.jit,
+                   static_argnames=("indel_init", "band", "with_traceback"))
 def sw_pallas_banded(
     tchar_b,  # (Rb, Bp) int32 target chars (row k = matrix row k+1)
     qpad,     # (QR, Bp) int32 query chars (row t = query base t), QR = Q+BH
@@ -739,6 +765,7 @@ def sw_pallas_banded(
     *,
     indel_init: bool,
     band: int = 32,
+    with_traceback: bool = True,
 ):
     """Banded SW forward with traceback.  Returns (ez, btr):
       ez:  (6, Bp) int32 — mqe, mqe_t, max, max_t, max_q, seg_length
@@ -778,12 +805,30 @@ def sw_pallas_banded(
 
     kernel = functools.partial(
         _sw_banded_kernel, BH=BH, NB=NB, NT=NT, Qcp=Qcp, QR=QR, WPB=WPB,
-        indel_init=indel_init)
+        indel_init=indel_init, with_traceback=with_traceback)
     col = lambda i: (0, i)
     scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     sm = pl.BlockSpec((NB, n_tiles), lambda i: (0, 0),
                       memory_space=pltpu.SMEM)
-    ez, btr = pl.pallas_call(
+    if with_traceback:
+        out_specs = [
+            pl.BlockSpec((6, LANES), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((6, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((G, BH, Bp), jnp.uint32),
+        ]
+        scratch_shapes = [
+            pltpu.VMEM((2, 3, Qcp, LANES), jnp.int32),
+            pltpu.VMEM((2, BH, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        out_specs = [pl.BlockSpec((6, LANES), col, memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((6, Bp), jnp.int32)]
+        scratch_shapes = [pltpu.VMEM((2, 2, Qcp, LANES), jnp.int32)]
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -793,26 +838,18 @@ def sw_pallas_banded(
             pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((6, LANES), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((6, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((G, BH, Bp), jnp.uint32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, Qcp, LANES), jnp.int32),
-            pltpu.VMEM((2, BH, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
     )(
         jnp.asarray([[match]], jnp.int32), jnp.asarray([[mismatch]], jnp.int32),
         jnp.asarray([[gap_open]], jnp.int32), jnp.asarray([[gap_ext]], jnp.int32),
         tlo.astype(jnp.int32), thi.astype(jnp.int32),
         tchar_b, qpad, tlen, qlen,
     )
-    return ez, btr
+    if with_traceback:
+        return outs[0], outs[1]
+    return outs[0], None
 
 
 def prepare_inputs_banded(targets: np.ndarray, tlen: np.ndarray,

@@ -225,15 +225,17 @@ def sw_score_batch(targets: np.ndarray, queries: np.ndarray, params,
 
     use_pallas = (impl if impl != "auto" else _default_impl()) == "pallas"
     if use_pallas:
-        from mgl_tpu.kernels.sw_pallas import prepare_inputs, sw_pallas_scores
+        from mgl_tpu.kernels.sw_pallas import (prepare_inputs_banded,
+                                               sw_pallas_banded)
 
-        tchar, qp, tl, ql = prepare_inputs(targets.astype(np.int32), tlen,
-                                           queries.astype(np.int32), qlen)
-        score = sw_pallas_scores(
+        tchar, qp, tl, ql = prepare_inputs_banded(
+            targets.astype(np.int32), tlen, queries.astype(np.int32), qlen)
+        ez, _ = sw_pallas_banded(
             jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl),
             jnp.asarray(ql), params.match, params.mismatch,
-            params.gap_open, params.gap_extend, indel_init=False)
-        return np.asarray(score)[0, :B].astype(np.int64)
+            params.gap_open, params.gap_extend, indel_init=False,
+            with_traceback=False)
+        return np.asarray(ez)[2, :B].astype(np.int64)   # row 2 = best score
     else:
         from mgl_tpu.ops.sw import sw_forward
 
