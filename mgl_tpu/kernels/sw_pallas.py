@@ -268,13 +268,11 @@ def _sw_banded_kernel(
     (mt_ref, mm_ref, go_ref, ge_ref, tlo_ref, thi_ref,
      tchar_ref, qpad_ref, tlen_ref, qlen_ref) = refs[:10]
     if with_traceback:
-        # outs: ez, btr; scratch: carry (2,3,Qcp,L): A/ebit/H, DMA staging
+        # outs: ez, btr; scratch: carry (2,2,Qcp,L): packed A / H
         ez_ref, btr_ref, carry_ref, pack_sl, dma_sem = refs[10:]
     else:
-        # outs: ez; scratch: carry (2,2,Qcp,L): A/H
         ez_ref, carry_ref = refs[10:]
         btr_ref = pack_sl = dma_sem = None
-    HPLANE = 2 if with_traceback else 1     # carry plane index of H
     w_match = mt_ref[0, 0]
     w_mismatch = mm_ref[0, 0]
     w_open = go_ref[0, 0]
@@ -295,12 +293,12 @@ def _sw_banded_kernel(
         return c * 0
 
     bc = border_cols()
-    NP = 3 if with_traceback else 2
-    carry_ref[0:1, 0:1] = (bc - w_open)[None, None]    # A(0, c)
-    if with_traceback:
-        carry_ref[0:1, 1:2] = jnp.zeros((1, 1, Qcp, LANES), jnp.int32)
-    carry_ref[0:1, HPLANE:HPLANE + 1] = bc[None, None]  # H(0, c)
-    carry_ref[1:2] = jnp.zeros((1, NP, Qcp, LANES), jnp.int32)
+    # A rides with its extend bit packed in the LSB (scores are far from
+    # +-2^30, so the shift is lossless); bit 0 = open-wins at row 0
+    a0 = ((bc - w_open) << 1) if with_traceback else (bc - w_open)
+    carry_ref[0:1, 0:1] = a0[None, None]               # A(0, c)
+    carry_ref[0:1, 1:2] = bc[None, None]               # H(0, c)
+    carry_ref[1:2] = jnp.zeros((1, 2, Qcp, LANES), jnp.int32)
 
     def band(b, sm_carry):
         r = pl.ds(b * BH, BH)
@@ -330,18 +328,19 @@ def _sw_banded_kernel(
             h00 = jnp.where(b == 0, 0, -w_open - (b * BH - 1) * w_ext)
         else:
             h00 = jnp.int32(0)
-        a_p = jnp.where(row0, cread(0, 1), h_un - w_open)
-        eb_p = jnp.where(row0, cread(1, 1), zero) if with_traceback else zero
-        h_sh_p = jnp.where(row0, cread(HPLANE, 1), br_up)
+        a_fill = (h_un - w_open) << 1 if with_traceback else h_un - w_open
+        a_p = jnp.where(row0, cread(0, 1), a_fill)
+        h_sh_p = jnp.where(row0, cread(1, 1), br_up)
         h_sh_pp = jnp.where(row0, zero + h00, br_up)
         qd = jnp.where(row0, qpad_ref[0:1, :], zero)
         word0 = zero.astype(jnp.uint32)
 
         def step(t, carry, *, sample: bool, ramp: bool):
-            (h_un, f_un, a_p, eb_p, h_sh_p, h_sh_pp, qd, word_acc,
+            (h_un, f_un, a_p, h_sh_p, h_sh_pp, qd, word_acc,
              mqe, mqe_t, rmax, rdist, rj) = carry
 
-            e_cur = a_p                                 # E(r,c) = A(r-1,c)
+            # E(r,c) = A(r-1,c); in traceback mode A carries its extend bit
+            e_cur = (a_p >> 1) if with_traceback else a_p
             open_h = h_un - w_open
             ext_h = f_un - w_ext
             if with_traceback:
@@ -365,15 +364,14 @@ def _sw_banded_kernel(
             ext_v = e_cur - w_ext
             if with_traceback:
                 open_wins_v = open_v > ext_v            # strict > (sw.cpp:73)
-                a_cur = jnp.where(open_wins_v, open_v, ext_v)
-                eb_cur = jnp.where(open_wins_v, 0, 4)
+                a_cur = (jnp.where(open_wins_v, open_v, ext_v) << 1
+                         | jnp.where(open_wins_v, 0, 1))
                 # nibble: move | ebit | fbit (pre-wavefront cells unread)
                 nib = (jnp.where(is_diag, 0, jnp.where(ins_over_del, 1, 2))
-                       | eb_p
+                       | ((a_p & 1) << 2)
                        | jnp.where(open_wins_h, 0, 8)).astype(jnp.uint32)
             else:
                 a_cur = jnp.maximum(open_v, ext_v)
-                eb_cur = eb_p
 
             if ramp:
                 # pre-wavefront cells (c <= 0) must hold the column-0
@@ -381,9 +379,9 @@ def _sw_banded_kernel(
                 pre = (row + zero) > t
                 h_cur = jnp.where(pre, border_rows, h_cur)
                 f_cur = jnp.where(pre, NEG + zero, f_cur)
-                a_cur = jnp.where(pre, border_rows - w_open, a_cur)
-                if with_traceback:
-                    eb_cur = jnp.where(pre, zero, eb_cur)
+                a_fill = ((border_rows - w_open) << 1 if with_traceback
+                          else border_rows - w_open)
+                a_cur = jnp.where(pre, a_fill, a_cur)
 
             if sample:
                 # last column (i ascending over t: '>=' rule); the sampled
@@ -445,30 +443,21 @@ def _sw_banded_kernel(
             st = t - BH + 2
             st = jnp.where(st >= 1, st, TRASH)
             carry_ref[pl.ds(wr, 1), 0:1, pl.ds(st, 1)] = a_sh[0:1][None, None]
-            if with_traceback:
-                eb_sh = pltpu.roll(eb_cur, 1, 0)
-                carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = \
-                    eb_sh[0:1][None, None]
-            else:
-                eb_sh = eb_cur
-            carry_ref[pl.ds(wr, 1), HPLANE:HPLANE + 1, pl.ds(st, 1)] = \
-                h_sh[0:1][None, None]
+            carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = h_sh[0:1][None, None]
             ld = jnp.minimum(t + 2, Qcp - 1)
             a_sh = jnp.where(row0, cread(0, ld), a_sh)
-            if with_traceback:
-                eb_sh = jnp.where(row0, cread(1, ld), eb_sh)
-            h_sh = jnp.where(row0, cread(HPLANE, ld), h_sh)
+            h_sh = jnp.where(row0, cread(1, ld), h_sh)
 
             qrow = qpad_ref[pl.ds(jnp.minimum(t + 1, QR - 1), 1), :]
             qd = jnp.where(row0, qrow, pltpu.roll(qd, 1, 0))
 
-            return (h_cur, f_cur, a_sh, eb_sh, h_sh, h_sh_p, qd, word_acc,
+            return (h_cur, f_cur, a_sh, h_sh, h_sh_p, qd, word_acc,
                     mqe, mqe_t, rmax, rdist, rj)
 
         t_lo = jnp.maximum(jnp.clip(tlo_ref[b, tile], 0, NT),
                            jnp.int32(min(BH - 1, NT)))
         t_hi = jnp.clip(thi_ref[b, tile], t_lo, NT)
-        carry = (h_un, f_un, a_p, eb_p, h_sh_p, h_sh_pp, qd, word0,
+        carry = (h_un, f_un, a_p, h_sh_p, h_sh_pp, qd, word0,
                  *sm_carry)
         if _SW_BANDED_SEGMENTS:
             carry = jax.lax.fori_loop(
@@ -820,7 +809,7 @@ def sw_pallas_banded(
             jax.ShapeDtypeStruct((G, BH, Bp), jnp.uint32),
         ]
         scratch_shapes = [
-            pltpu.VMEM((2, 3, Qcp, LANES), jnp.int32),
+            pltpu.VMEM((2, 2, Qcp, LANES), jnp.int32),
             pltpu.VMEM((2, BH, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
