@@ -117,6 +117,17 @@ def main():
                 baseline["pairhmm_avxf_gcups_150x400"],
         },
     }
+    scale = ROOT / "tests/golden/scale_report.json"
+    if scale.exists():
+        rep = json.loads(scale.read_text())
+        c4 = rep.get("config4_seed_extend_1m", {})
+        c5 = rep.get("config5_align_sort", {})
+        out["extra"]["scale_runs"] = {
+            "source": "tools/run_scale_configs.py (recorded, not re-run here)",
+            "mapper_reads_per_s_1m": c4.get("steady_reads_per_s"),
+            "mapper_window_accuracy": c4.get("window_accuracy"),
+            "sort_10m_mkeys_per_s": c5.get("sort_10m_mkeys_per_s"),
+        }
     print(json.dumps(out))
 
 
