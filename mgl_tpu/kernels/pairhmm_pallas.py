@@ -389,6 +389,123 @@ def prepare_inputs_banded(batch, band: int = 32):
     return args
 
 
+@functools.partial(jax.jit, static_argnames=("band",))
+def _product_forward(read_planes, rchar, rslen, pgapm1,
+                     hap_planes, haplen, y_init,
+                     ridx, hidx, *, band: int):
+    """Device-side product expansion + banded forward.
+
+    Per-read transition/emission planes ((Rb, n_reads) f32/int32) and
+    per-hap planes ((HR, n_haps) int32) are gathered along lanes into the
+    (rows, n_pairs) layout the kernel wants — the data shipped to the
+    device is per-read/per-hap (the reference's own precompute grain,
+    compute_prob_scalar.cc:74-86), not per-pair.
+    """
+    rp = [p[:, ridx] for p in read_planes]
+    rc = rchar[:, ridx]
+    rl = rslen[:, ridx]
+    hp = hap_planes[:, hidx]
+    hl = haplen[:, hidx]
+    yi = y_init[:, hidx]
+    u0 = yi * pgapm1[:, ridx]
+    return pairhmm_pallas_banded(
+        hp, rc, rl, hl, rp[0], rp[1], rp[2], rp[3], rp[4], rp[5],
+        rp[6], rp[7], u0, band=band)
+
+
+def pack_reads_for_product(reads: list[dict], band: int = 32):
+    """Per-read banded planes (vectorized; reads padded to the batch max).
+
+    Returns (read_planes tuple of 8 (Rb, n) f32 in kernel order
+    [pmm_u, pgapm_u, pmx_u, pzz_u, p_my, p_zz, dm, dmm], rchar (Rb, n)
+    int32 one-hot, rslen (1, n), pgapm1 (1, n) f32)."""
+    from mgl_tpu.core.context import CTX_F32, read_transition_rows
+
+    n = len(reads)
+    rmax = max(len(r["bases"]) for r in reads)
+    Rb = _round_up(rmax, band)
+
+    def tracks(key):
+        out = np.zeros((n, rmax), np.uint8)
+        for k, r in enumerate(reads):
+            out[k, : len(r[key])] = r[key]
+        return out
+
+    q, i, d, c = tracks("q"), tracks("i"), tracks("d"), tracks("c")
+    p_mm, p_gapm, p_mx, p_my, p_zz, distm = read_transition_rows(
+        q, i, d, c, CTX_F32)                     # (n, rmax+1) rows 0..rmax
+    # zero transition rows past each read's length (pad invariance)
+    rslen = np.array([len(r["bases"]) for r in reads], np.int32)
+    col = np.arange(rmax + 1)[None, :]
+    live = col <= rslen[:, None]
+    dm = ((np.float32(1.0) - distm) * live).astype(np.float32)
+    dmm = (distm * (np.float32(1.0) / np.float32(3.0)) * live).astype(
+        np.float32)
+    p_mm, p_gapm, p_mx, p_my, p_zz = (
+        (a * live).astype(np.float32)
+        for a in (p_mm, p_gapm, p_mx, p_my, p_zz))
+
+    def dev(a, drop):
+        out = np.zeros((Rb, n), np.float32)
+        src = a.T[drop:]
+        out[: src.shape[0]] = src
+        return out
+
+    planes = (dev(p_mm, 2), dev(p_gapm, 2), dev(p_mx, 2), dev(p_zz, 2),
+              dev(p_my, 1), dev(p_zz, 1), dev(dm, 1), dev(dmm, 1))
+    bases = np.zeros((n, rmax), np.uint8)
+    for k, r in enumerate(reads):
+        bases[k, : len(r["bases"])] = r["bases"]
+    rchar = np.zeros((Rb, n), np.int32)
+    rchar[:rmax] = BASE_ENC[bases].T
+    pgapm1 = p_gapm[:, 1][None, :].astype(np.float32)
+    return planes, rchar, rslen[None, :], pgapm1
+
+
+def pack_haps_for_product(haps: list[np.ndarray], band: int = 32):
+    """Per-hap planes: (hap_planes (HR, n) int32 one-hot, haplen (1, n),
+    y_init (1, n) f32)."""
+    from mgl_tpu.core.context import CTX_F32
+
+    n = len(haps)
+    hmax = max(len(h) for h in haps)
+    HR = hmax + band
+    hp = np.zeros((HR, n), np.int32)
+    haplen = np.zeros((1, n), np.int32)
+    for k, h in enumerate(haps):
+        hp[: len(h), k] = BASE_ENC[np.asarray(h)]
+        haplen[0, k] = len(h)
+    y_init = (np.float32(CTX_F32.initial_constant)
+              / haplen.astype(np.float32))
+    return hp, haplen, y_init
+
+
+def forward_scores_product(reads: list[dict], haps: list[np.ndarray],
+                           pair_index: list[tuple[int, int]],
+                           band: int = 32) -> np.ndarray:
+    """(B,) f32 scaled scores for arbitrary (read, hap) pairs with
+    device-side product expansion."""
+    import jax.numpy as jnp
+
+    B = len(pair_index)
+    Bp = _round_up(max(B, 1), LANES)
+    planes, rchar, rslen, pgapm1 = pack_reads_for_product(reads, band)
+    hp, haplen, y_init = pack_haps_for_product(haps, band)
+    # the hap plane must cover Rb's ramp: HR >= hmax + band already
+    ridx = np.zeros(Bp, np.int64)
+    hidx = np.zeros(Bp, np.int64)
+    for b, (ri, hi) in enumerate(pair_index):
+        ridx[b], hidx[b] = ri, hi
+    # pad lanes replicate pair 0 (harmless, ignored on output)
+    score = _product_forward(
+        tuple(jnp.asarray(p) for p in planes), jnp.asarray(rchar),
+        jnp.asarray(rslen), jnp.asarray(pgapm1),
+        jnp.asarray(hp), jnp.asarray(np.maximum(haplen, 1)),
+        jnp.asarray(y_init),
+        jnp.asarray(ridx), jnp.asarray(hidx), band=band)
+    return np.asarray(score)[0, :B]
+
+
 def forward_scores_banded(batch, band: int = 32) -> np.ndarray:
     """Host convenience: PairHMMBatch -> (B,) f32 scaled scores (banded)."""
     import jax.numpy as jnp

@@ -345,19 +345,30 @@ def compute_likelihoods(
     if not use_double and dp_pairs:
         from mgl_tpu.batch.bucketing import bucket_pairs
 
-        if _use_pallas(impl):
-            from mgl_tpu.kernels.pairhmm_pallas import forward_scores
-        else:
-            forward_scores = forward_scores_xla
+        use_pallas = _use_pallas(impl)
         # length-bucket by (read, hap) pad shape so mixed-length products
         # don't all pay the global maxima (and compiled shapes get reused)
         la = [len(reads[pair_index[b][0]]["bases"]) for b in dp_pairs]
         lb = [len(haps[pair_index[b][1]]) for b in dp_pairs]
         for (pa, pb), idxs in bucket_pairs(la, lb):
             sel = [dp_pairs[k] for k in idxs]
-            batch = pack_pairs(reads, haps, [pair_index[b] for b in sel],
-                               pad_to=(pa, pb))
-            sub = forward_scores(batch)
+            sub_pairs = [pair_index[b] for b in sel]
+            if use_pallas:
+                # device-side product expansion: ship per-read/per-hap
+                # planes once, gather per-pair lanes on device
+                from mgl_tpu.kernels.pairhmm_pallas import (
+                    forward_scores_product)
+
+                ur = sorted({ri for ri, _ in sub_pairs})
+                uh = sorted({hi for _, hi in sub_pairs})
+                rmap = {r: k for k, r in enumerate(ur)}
+                hmap = {h: k for k, h in enumerate(uh)}
+                sub = forward_scores_product(
+                    [reads[r] for r in ur], [haps[h] for h in uh],
+                    [(rmap[ri], hmap[hi]) for ri, hi in sub_pairs])
+            else:
+                batch = pack_pairs(reads, haps, sub_pairs, pad_to=(pa, pb))
+                sub = forward_scores_xla(batch)
             for b, s in zip(sel, sub):
                 scores[b] = float(s)
 
