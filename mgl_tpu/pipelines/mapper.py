@@ -188,6 +188,22 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
             out["cigar"][i] = res[j].cigar
             out["offset"][i] = res[j].offset
             out["score"][i] = 0
+    elif (impl if impl != "auto" else _default_impl_lazy()) == "pallas":
+        # device-side windowing: the reference lives in HBM once; only
+        # uint8 reads + int32 window starts cross the link per chunk
+        rsub = reads[mapped]
+        exact = np.zeros(len(mapped), bool)
+        for o in range(window_pad, min(window_pad + 8, wlen - L + 1)):
+            m = ~exact
+            m[m] = (windows[m, o: o + L] == rsub[m]).all(axis=1)
+            exact |= m
+        out["pos"][mapped] = start
+        out["score"][mapped[exact]] = L * int(params.match)
+        rest = ~exact
+        if rest.any():
+            scores = sw_score_windows(index, start[rest], rsub[rest],
+                                      wlen, params)
+            out["score"][mapped[rest]] = scores
     else:
         # exact-match fast tier: a read equal to a window substring scores
         # exactly read_len * match (no alignment can exceed #matches *
@@ -208,6 +224,77 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
                                     impl=impl)
             out["score"][mapped[rest]] = scores
     return out
+
+
+def _default_impl_lazy() -> str:
+    from mgl_tpu.api import _default_impl
+
+    return _default_impl()
+
+
+def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32):
+    """jit-compiled: (ref_dev u8, starts, reads u8) -> (6, Bp) ez."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgl_tpu.kernels.sw_pallas import LANES, _round_up, sw_pallas_banded
+
+    Rb = _round_up(wlen, band)
+    QR = _round_up(qlen + band, 8)
+
+    @jax.jit
+    def fn(ref_dev, starts, reads_u8, match, mismatch, gap_open, gap_ext):
+        B = starts.shape[0]
+        win = ref_dev[starts[:, None]
+                      + jnp.arange(wlen, dtype=starts.dtype)[None, :]]
+        tchar = jnp.zeros((Rb, B), jnp.int32).at[:wlen].set(
+            win.T.astype(jnp.int32))
+        qpad = jnp.zeros((QR, B), jnp.int32).at[:qlen].set(
+            reads_u8.T.astype(jnp.int32))
+        tl = jnp.full((1, B), wlen, jnp.int32)
+        ql = jnp.full((1, B), qlen, jnp.int32)
+        ez, _ = sw_pallas_banded(tchar, qpad, tl, ql, match, mismatch,
+                                 gap_open, gap_ext, indel_init=False,
+                                 with_traceback=False)
+        return ez
+
+    return fn
+
+
+def sw_score_windows(index: "ReferenceIndex", starts: np.ndarray,
+                     reads: np.ndarray, wlen: int, params) -> np.ndarray:
+    """Best SW score of each read vs its reference window, with the window
+    gather running on device (reference resident in HBM)."""
+    import jax.numpy as jnp
+
+    from mgl_tpu.kernels.sw_pallas import LANES, _round_up
+
+    if getattr(index, "_ref_dev", None) is None:
+        # pad so start+wlen never reads out of bounds
+        padded = np.concatenate([index.ref,
+                                 np.zeros(2048, np.uint8)])
+        index._ref_dev = jnp.asarray(padded)
+    B, L = reads.shape
+    # bucket the lane count so recompiles don't track every batch size
+    from mgl_tpu.batch.bucketing import bucket_dims
+
+    Bp = _round_up(bucket_dims(B, (1024, 4096, 16384, 32768, 65536,
+                                   131072, 262144)), LANES)
+    st = np.zeros(Bp, np.int32)
+    st[:B] = starts
+    rd = np.zeros((Bp, L), np.uint8)
+    rd[:B] = reads
+    key = (wlen, L)
+    cache = getattr(index, "_win_fns", None)
+    if cache is None:
+        cache = index._win_fns = {}
+    fn = cache.get(key)
+    if fn is None:
+        fn = cache[key] = _windowed_scores_fn(wlen, L)
+    ez = fn(index._ref_dev, jnp.asarray(st), jnp.asarray(rd),
+            params.match, params.mismatch, params.gap_open,
+            params.gap_extend)
+    return np.asarray(ez)[2, :B].astype(np.int64)
 
 
 def sw_score_batch(targets: np.ndarray, queries: np.ndarray, params,
