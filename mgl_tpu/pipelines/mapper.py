@@ -50,15 +50,25 @@ def _kmers(code: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return vals, valid
 
 
+_PREFIX_BASES = 13                     # 4^13 = 67M jump-table buckets
+_SCAN_WIDTH = 16                       # vectorized in-bucket scan width
+
+
 @dataclasses.dataclass
 class ReferenceIndex:
-    """Sorted k-mer index of one reference sequence."""
+    """Sorted k-mer index of one reference sequence with a 13-base prefix
+    jump table: lookups are O(1) direct addressing plus a short vectorized
+    in-bucket scan (binary search over tens of millions of k-mers was the
+    mapper's bottleneck at chromosome scale)."""
 
     k: int
     ref: np.ndarray              # ASCII uint8
     sorted_kmers: np.ndarray     # (M,) uint64
     positions: np.ndarray        # (M,) int32 — ref offset of each kmer
     max_hits: int = 64
+    prefix_table: np.ndarray | None = None   # (4^13 + 1,) int64 bucket starts
+    _ref_dev: object = None
+    _win_fns: dict | None = None
 
     @staticmethod
     def build(ref_seq, k: int = 16, max_hits: int = 64) -> "ReferenceIndex":
@@ -69,14 +79,43 @@ class ReferenceIndex:
         pos = np.nonzero(valid)[0].astype(np.int32)
         vals = vals[valid]
         order = np.argsort(vals, kind="stable")
-        return ReferenceIndex(k=k, ref=ref, sorted_kmers=vals[order],
+        vals = vals[order]
+        ptable = None
+        if k >= _PREFIX_BASES:
+            shift = np.uint64(2 * (k - _PREFIX_BASES))
+            counts = np.bincount((vals >> shift).astype(np.int64),
+                                 minlength=4 ** _PREFIX_BASES)
+            ptable = np.zeros(4 ** _PREFIX_BASES + 1, np.int64)
+            np.cumsum(counts, out=ptable[1:])
+        return ReferenceIndex(k=k, ref=ref, sorted_kmers=vals,
                               positions=pos[order].astype(np.int32),
-                              max_hits=max_hits)
+                              max_hits=max_hits, prefix_table=ptable)
 
     def lookup(self, kmer_vals: np.ndarray):
-        """Candidate (hit_index_ranges) for a flat array of k-mer values."""
-        lo = np.searchsorted(self.sorted_kmers, kmer_vals, "left")
-        hi = np.searchsorted(self.sorted_kmers, kmer_vals, "right")
+        """Hit index ranges [lo, hi) for a flat array of k-mer values."""
+        if self.prefix_table is None:
+            lo = np.searchsorted(self.sorted_kmers, kmer_vals, "left")
+            hi = np.searchsorted(self.sorted_kmers, kmer_vals, "right")
+            return lo, hi
+        shift = np.uint64(2 * (self.k - _PREFIX_BASES))
+        pfx = (kmer_vals >> shift).astype(np.int64)
+        plo = self.prefix_table[pfx]
+        phi = self.prefix_table[pfx + 1]
+        wide = (phi - plo) > _SCAN_WIDTH
+        # short buckets: one gather of SCAN_WIDTH entries + two counts
+        M = len(self.sorted_kmers)
+        idx = plo[:, None] + np.arange(_SCAN_WIDTH, dtype=np.int64)[None, :]
+        in_rng = idx < phi[:, None]
+        vals = self.sorted_kmers[np.minimum(idx, M - 1)]
+        lt = ((vals < kmer_vals[:, None]) & in_rng).sum(1)
+        eq = ((vals == kmer_vals[:, None]) & in_rng).sum(1)
+        lo = plo + lt
+        hi = lo + eq
+        if wide.any():   # repetitive prefixes: exact search on the few
+            lo[wide] = np.searchsorted(self.sorted_kmers, kmer_vals[wide],
+                                       "left")
+            hi[wide] = np.searchsorted(self.sorted_kmers, kmer_vals[wide],
+                                       "right")
         return lo, hi
 
 
