@@ -122,3 +122,47 @@ def test_sw_pallas_scores_match_forward(tpu_backend):
                            tlen, qlen)
     scores = np.asarray(sw_pallas_scores(*args, indel_init=False))[0, :B]
     assert np.array_equal(scores, ez["max"]), "score-only kernel diverged"
+
+
+def test_pairhmm_product_expansion_bit_identical(tpu_backend):
+    """Device-side product expansion == per-pair XLA reference."""
+    from mgl_tpu.kernels.pairhmm_pallas import forward_scores_product
+    from mgl_tpu.ops.pairhmm import forward_scores_xla, pack_pairs
+
+    rng = np.random.default_rng(9)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    reads, haps = [], []
+    for _ in range(41):
+        n = int(rng.integers(1, 120))
+        bases = rng.choice(alpha, size=n, p=[.24, .24, .24, .24, .04])
+        q = rng.integers(6, 50, size=n).astype(np.uint8)
+        reads.append(dict(bases=bases, q=q, i=q, d=q,
+                          c=np.full(n, 10, np.uint8)))
+    for _ in range(7):
+        haps.append(rng.choice(alpha[:4], size=int(rng.integers(1, 280))))
+    pairs = [(ri, hi) for ri in range(41) for hi in range(7)]
+    ref = forward_scores_xla(pack_pairs(reads, haps, pairs))
+    got = forward_scores_product(reads, haps, pairs)
+    assert np.array_equal(got, ref)
+
+
+def test_mapper_device_windowing_matches_host(tpu_backend):
+    """sw_score_windows (device-resident ref gather) == host-window path."""
+    from mgl_tpu.core.params import SWParameters
+    from mgl_tpu.pipelines.mapper import (ReferenceIndex, sw_score_batch,
+                                          sw_score_windows)
+
+    rng = np.random.default_rng(4)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    ref = rng.choice(alpha, 200_000)
+    index = ReferenceIndex.build(ref, k=16)
+    B, L, wlen = 300, 100, 148
+    starts = rng.integers(0, len(ref) - wlen, B).astype(np.int32)
+    reads = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random(reads.shape) < 0.03
+    reads[mut] = rng.choice(alpha, int(mut.sum()))
+    p = SWParameters(25, -50, 110, 6)
+    dev = sw_score_windows(index, starts, reads, wlen, p)
+    win = ref[starts[:, None] + np.arange(wlen)[None, :]]
+    host = sw_score_batch(win, reads, p)
+    assert np.array_equal(dev, host)
