@@ -899,9 +899,8 @@ def align_batch_banded(
 
     from mgl_tpu.native import cigar_decode_bulk_banded
 
-    words = np.ascontiguousarray(btr[:, :, :B].transpose(2, 0, 1))
-    native = cigar_decode_bulk_banded(words, ez, tlen, qlen, int(strategy),
-                                      band, WPB)
+    native = cigar_decode_bulk_banded(btr, ez, tlen, qlen, int(strategy),
+                                      band, WPB, device_layout=True)
     if native is not None:
         return native
 

@@ -124,16 +124,21 @@ static int decode_one(
     int32_t tlen, int32_t qlen, int32_t strategy,
     int32_t max_t, int32_t max_q, int32_t seg_length, int32_t mqe_t,
     char* cigar_out, int32_t cigar_cap, int32_t* offset_out,
-    int32_t band_h = 0, int32_t words_per_band = 0)
+    int32_t band_h = 0, int32_t words_per_band = 0,
+    int64_t sub_stride = 1)
 {
     auto nib = [&](int32_t i, int32_t j) -> uint32_t {
         if (band_h > 0) {
             // banded layout: band (i-1)/band_h, sublane s=(i-1)%band_h,
-            // step t=(j-1)+s -> word band*words_per_band + t/8, nibble t%8
+            // step t=(j-1)+s -> word band*words_per_band + t/8, nibble t%8;
+            // word_row_stride = elements between word rows, sub_stride =
+            // elements between sublanes (1 for per-pair-contiguous copies,
+            // n_lanes for decoding the device layout in place)
             int32_t s = (i - 1) % band_h;
             int32_t t = (j - 1) + s;
             int64_t g = (int64_t)((i - 1) / band_h) * words_per_band + (t >> 3);
-            return (words[g * word_row_stride + s] >> ((t & 7) * 4)) & 0xF;
+            return (words[g * word_row_stride + (int64_t)s * sub_stride]
+                    >> ((t & 7) * 4)) & 0xF;
         }
         int32_t k = i + j - 2;
         return (words[(int64_t)(k >> 3) * word_row_stride + i] >> ((k & 7) * 4)) & 0xF;
@@ -219,7 +224,8 @@ static void decode_batch_impl(
     const int32_t* max_t, const int32_t* max_q,
     const int32_t* seg_length, const int32_t* mqe_t,
     char* cigars_out, int32_t cigar_cap, int32_t* offsets_out,
-    int32_t n_threads, int32_t band_h, int32_t words_per_band)
+    int32_t n_threads, int32_t band_h, int32_t words_per_band,
+    int64_t sub_stride)
 {
     std::atomic<int32_t> next(0);
     auto worker = [&]() {
@@ -230,7 +236,7 @@ static void decode_batch_impl(
                        tlen[i], qlen[i], strategy,
                        max_t[i], max_q[i], seg_length[i], mqe_t[i],
                        cigars_out + (int64_t)i * cigar_cap, cigar_cap,
-                       offsets_out + i, band_h, words_per_band);
+                       offsets_out + i, band_h, words_per_band, sub_stride);
         }
     };
     if (n_threads <= 1) { worker(); return; }
@@ -254,7 +260,7 @@ void cigar_decode_batch(
 {
     decode_batch_impl(n_pairs, words, pair_stride, word_row_stride,
                       tlen, qlen, strategy, max_t, max_q, seg_length, mqe_t,
-                      cigars_out, cigar_cap, offsets_out, n_threads, 0, 0);
+                      cigars_out, cigar_cap, offsets_out, n_threads, 0, 0, 1);
 }
 
 void cigar_decode_batch_banded(
@@ -266,12 +272,13 @@ void cigar_decode_batch_banded(
     const int32_t* max_t, const int32_t* max_q,
     const int32_t* seg_length, const int32_t* mqe_t,
     char* cigars_out, int32_t cigar_cap, int32_t* offsets_out,
-    int32_t n_threads, int32_t band_h, int32_t words_per_band)
+    int32_t n_threads, int32_t band_h, int32_t words_per_band,
+    int64_t sub_stride)
 {
     decode_batch_impl(n_pairs, words, pair_stride, word_row_stride,
                       tlen, qlen, strategy, max_t, max_q, seg_length, mqe_t,
                       cigars_out, cigar_cap, offsets_out, n_threads,
-                      band_h, words_per_band);
+                      band_h, words_per_band, sub_stride);
 }
 
 // ---------------------------------------------------------------------------

@@ -216,7 +216,15 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
     win_idx = start[:, None] + np.arange(wlen)[None, :]
     windows = index.ref[np.clip(win_idx, 0, len(index.ref) - 1)]
 
-    if with_cigar:
+    use_pallas = (impl if impl != "auto" else _default_impl_lazy()) == "pallas"
+    if with_cigar and use_pallas:
+        res = sw_cigar_windows(index, start.astype(np.int32), reads[mapped],
+                               wlen, params, strategy)
+        out["pos"][mapped] = start
+        for j, i in enumerate(mapped):
+            out["cigar"][i], out["offset"][i] = res[j]
+            out["score"][i] = 0
+    elif with_cigar:
         from mgl_tpu.api import SmithWatermanAligner
 
         res = SmithWatermanAligner(impl=impl).align_batch(
@@ -227,7 +235,7 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
             out["cigar"][i] = res[j].cigar
             out["offset"][i] = res[j].offset
             out["score"][i] = 0
-    elif (impl if impl != "auto" else _default_impl_lazy()) == "pallas":
+    elif use_pallas:
         # device-side windowing: the reference lives in HBM once; only
         # uint8 reads + int32 window starts cross the link per chunk
         rsub = reads[mapped]
@@ -271,8 +279,10 @@ def _default_impl_lazy() -> str:
     return _default_impl()
 
 
-def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32):
-    """jit-compiled: (ref_dev u8, starts, reads u8) -> (6, Bp) ez."""
+def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32,
+                        with_traceback: bool = False,
+                        indel_init: bool = False):
+    """jit-compiled: (ref_dev u8, starts, reads u8) -> ez (and btr)."""
     import jax
     import jax.numpy as jnp
 
@@ -292,10 +302,9 @@ def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32):
             reads_u8.T.astype(jnp.int32))
         tl = jnp.full((1, B), wlen, jnp.int32)
         ql = jnp.full((1, B), qlen, jnp.int32)
-        ez, _ = sw_pallas_banded(tchar, qpad, tl, ql, match, mismatch,
-                                 gap_open, gap_ext, indel_init=False,
-                                 with_traceback=False)
-        return ez
+        return sw_pallas_banded(tchar, qpad, tl, ql, match, mismatch,
+                                gap_open, gap_ext, indel_init=indel_init,
+                                with_traceback=with_traceback, band=band)
 
     return fn
 
@@ -323,17 +332,89 @@ def sw_score_windows(index: "ReferenceIndex", starts: np.ndarray,
     st[:B] = starts
     rd = np.zeros((Bp, L), np.uint8)
     rd[:B] = reads
-    key = (wlen, L)
+    key = (wlen, L, False)
     cache = getattr(index, "_win_fns", None)
     if cache is None:
         cache = index._win_fns = {}
     fn = cache.get(key)
     if fn is None:
         fn = cache[key] = _windowed_scores_fn(wlen, L)
-    ez = fn(index._ref_dev, jnp.asarray(st), jnp.asarray(rd),
-            params.match, params.mismatch, params.gap_open,
-            params.gap_extend)
+    ez, _ = fn(index._ref_dev, jnp.asarray(st), jnp.asarray(rd),
+               params.match, params.mismatch, params.gap_open,
+               params.gap_extend)
     return np.asarray(ez)[2, :B].astype(np.int64)
+
+
+def sw_cigar_windows(index: "ReferenceIndex", starts: np.ndarray,
+                     reads: np.ndarray, wlen: int, params,
+                     strategy, band: int = 32,
+                     chunk: int = 8192) -> list:
+    """Full CIGARs of reads vs their reference windows: device-side window
+    gather + banded traceback + native banded decode (no per-read Python
+    byte shuffling).  Processes fixed-size chunks so compiled shapes recur
+    and the traceback transfer stays bounded."""
+    if len(reads) > chunk:
+        out = []
+        for lo in range(0, len(reads), chunk):
+            out.extend(sw_cigar_windows(index, starts[lo: lo + chunk],
+                                        reads[lo: lo + chunk], wlen, params,
+                                        strategy, band, chunk))
+        return out
+    import jax.numpy as jnp
+
+    from mgl_tpu.batch.bucketing import bucket_dims
+    from mgl_tpu.core.params import OverhangStrategy
+    from mgl_tpu.kernels.sw_pallas import LANES, _round_up
+    from mgl_tpu.native import cigar_decode_bulk_banded
+    from mgl_tpu.ops.cigar import decode_nib_fn
+
+    if getattr(index, "_ref_dev", None) is None:
+        padded = np.concatenate([index.ref, np.zeros(2048, np.uint8)])
+        index._ref_dev = jnp.asarray(padded)
+    B, L = reads.shape
+    Bp = _round_up(bucket_dims(B, (1024, 4096, 8192)), LANES)
+    st = np.zeros(Bp, np.int32)
+    st[:B] = starts
+    rd = np.zeros((Bp, L), np.uint8)
+    rd[:B] = reads
+    indel_init = bool(
+        strategy & (OverhangStrategy.INDEL | OverhangStrategy.LEADING_INDEL))
+    key = (wlen, L, True, indel_init)
+    cache = getattr(index, "_win_fns", None)
+    if cache is None:
+        cache = index._win_fns = {}
+    fn = cache.get(key)
+    if fn is None:
+        fn = cache[key] = _windowed_scores_fn(
+            wlen, L, band=band, with_traceback=True, indel_init=indel_init)
+    ez_dev, btr = fn(index._ref_dev, jnp.asarray(st), jnp.asarray(rd),
+                     params.match, params.mismatch, params.gap_open,
+                     params.gap_extend)
+    ez_np = np.asarray(ez_dev)[:, :B].astype(np.int64)
+    ez = dict(zip(("mqe", "mqe_t", "max", "max_t", "max_q", "seg_length"),
+                  ez_np))
+    btr = np.asarray(btr)
+    QR = _round_up(L + band, 8)
+    WPB = (QR - band + band - 1 + 7) // 8
+    tlen = np.full(B, wlen, np.int32)
+    qlen = np.full(B, L, np.int32)
+    native = cigar_decode_bulk_banded(btr, ez, tlen, qlen, int(strategy),
+                                      band, WPB, device_layout=True)
+    if native is not None:
+        return native
+    out = []
+    for b in range(B):
+        wb = btr[:, :, b]
+
+        def nib(i, j, wb=wb):
+            s = (i - 1) % band
+            t = (j - 1) + s
+            g = ((i - 1) // band) * WPB + (t >> 3)
+            return (int(wb[g, s]) >> ((t & 7) * 4)) & 0xF
+
+        ez_b = {k: v[b] for k, v in ez.items()}
+        out.append(decode_nib_fn(nib, ez_b, wlen, L, strategy))
+    return out
 
 
 def sw_score_batch(targets: np.ndarray, queries: np.ndarray, params,
