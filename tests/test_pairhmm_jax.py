@@ -148,3 +148,54 @@ def test_bucketed_product_matches_single_bucket(pairhmm_kat):
         for hi in range(3):
             single = compute_likelihoods([reads[ri]], [haps[hi]])
             assert single[0, 0] == out[ri, hi], (ri, hi)
+
+
+def test_seed_extend_matches_reference_fast_kernel(pairhmm_golden):
+    """Tier-0 seed-extend scores vs the reference's compute_fast_prob
+    golden values (hex-exact dumps)."""
+    from mgl_tpu.ops.seed_extend import fast_scores
+
+    rows = pairhmm_golden[::2]
+    b = as_u8
+    reads = [dict(bases=b(r["read"]), q=np.array(r["q"], np.uint8),
+                  i=np.array(r["i"], np.uint8), d=np.array(r["d"], np.uint8),
+                  c=np.array(r["c"], np.uint8)) for r in rows]
+    haps = [b(r["hap"]) for r in rows]
+    got = fast_scores(reads, haps, [(k, k) for k in range(len(rows))])
+    checked = 0
+    for k, r in enumerate(rows):
+        want = float.fromhex(r["fast"])
+        g = float(got[k])
+        if want == 0.0:
+            assert g == 0.0 or abs(g) < 1e-30, (k, g)
+        else:
+            assert abs(g - want) / abs(want) < 1e-6, (k, g, want)
+        checked += 1
+    assert checked >= 100
+
+
+def test_engine_fast_path_gates_correctly(pairhmm_kat):
+    """fast_path=True: pairs clearing MIN_ACCEPTED take the estimator, the
+    rest fall through to the exact DP cascade."""
+    from mgl_tpu.core.context import MIN_ACCEPTED
+    from mgl_tpu.ops.seed_extend import fast_scores
+
+    cases = pairhmm_kat[:24]
+    reads = [kat_read(c) for c in cases]
+    haps = [as_u8(c["hap"]) for c in cases]
+    pairs = [(k, k) for k in range(len(cases))]
+    fs = fast_scores(reads, haps, pairs)
+
+    eng_fast = PairHmmEngine(fast_path=True)
+    eng_exact = PairHmmEngine()
+    for k, c in enumerate(cases):
+        lik = eng_fast.compute_likelihoods([reads[k]], [haps[k]])[0, 0]
+        exact = eng_exact.compute_likelihoods([reads[k]], [haps[k]])[0, 0]
+        if fs[k] >= float(MIN_ACCEPTED):
+            import math
+            from mgl_tpu.core.context import CTX_F32
+            want = math.log10(float(fs[k])) - float(
+                CTX_F32.log10_initial_constant)
+            assert abs(lik - want) < 1e-9, (k, lik, want)
+        else:
+            assert lik == exact, k
