@@ -1,0 +1,78 @@
+"""SAM output writer for mapped/sorted reads.
+
+Completes the align->sort pipeline's output story: coordinate-sorted
+records (pipelines/align_sort.py) emit as standard SAM, consumable by
+samtools/GATK.  Plain text; BGZF/BAM emission is downstream tooling's job
+(the reference library itself emits nothing — GATK owns output — so this
+is additive capability).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FLAG_UNMAPPED = 0x4
+
+
+def sam_header(ref_names: list[str], ref_lengths: list[int],
+               program: str = "mgl-tpu") -> str:
+    lines = ["@HD\tVN:1.6\tSO:coordinate"]
+    for name, length in zip(ref_names, ref_lengths):
+        lines.append(f"@SQ\tSN:{name}\tLN:{length}")
+    lines.append(f"@PG\tID:{program}\tPN:{program}")
+    return "\n".join(lines) + "\n"
+
+
+def sam_record(name: str, flag: int, rname: str, pos0: int, mapq: int,
+               cigar: str, seq: bytes, qual: np.ndarray | None) -> str:
+    """One alignment line.  ``pos0`` is 0-based (SAM POS is emitted
+    1-based); unmapped records use rname '*' / pos 0 per spec."""
+    if flag & FLAG_UNMAPPED or pos0 < 0:
+        rname, p, cigar, mapq = "*", 0, "*", 0
+        flag |= FLAG_UNMAPPED
+    else:
+        p = pos0 + 1
+    q = "*" if qual is None else (np.asarray(qual, np.uint8) + 33
+                                  ).tobytes().decode("ascii")
+    return (f"{name}\t{flag}\t{rname}\t{p}\t{mapq}\t{cigar}\t*\t0\t0\t"
+            f"{bytes(seq).decode('ascii')}\t{q}\n")
+
+
+def write_sam(path, index, reads: np.ndarray, result: dict,
+              ref_name: str = "ref", quals: np.ndarray | None = None,
+              names: list[str] | None = None) -> int:
+    """Emit a map_reads/align_and_sort result as coordinate-sorted SAM.
+
+    ``result``: dict with pos (window start per read), plus either
+    ``order`` (from align_and_sort, coordinate order) and optional
+    cigar/offset arrays (map_reads with_cigar=True).  Returns the number
+    of records written.
+    """
+    n = len(reads)
+    order = result.get("order")
+    if order is None:
+        order = np.argsort(np.where(result["pos"] >= 0, result["pos"],
+                                    np.iinfo(np.int64).max), kind="stable")
+    cigars = result.get("cigar")
+    offsets = result.get("offset")
+    L = reads.shape[1]
+    written = 0
+    with open(path, "w") as f:
+        f.write(sam_header([ref_name], [len(index.ref)]))
+        for i in map(int, order):
+            pos0 = int(result["pos"][i])
+            if cigars is not None and pos0 >= 0:
+                cig = cigars[i] or "*"
+                pos_out = pos0 + (int(offsets[i]) if offsets is not None else 0)
+            else:
+                cig = f"{L}M" if pos0 >= 0 else "*"
+                pos_out = pos0
+            name = names[i] if names is not None else f"read{i}"
+            flag = 0 if pos0 >= 0 else FLAG_UNMAPPED
+            mapq = min(60, int(result.get("votes", np.zeros(n))[i]) * 7) \
+                if pos0 >= 0 else 0
+            f.write(sam_record(name, flag, ref_name, pos_out, mapq, cig,
+                               reads[i].tobytes(),
+                               None if quals is None else quals[i]))
+            written += 1
+    return written

@@ -1,23 +1,25 @@
-"""Pallas TPU kernel for batched Smith-Waterman.
+"""Pallas TPU kernels for batched Smith-Waterman.
 
-The performance path of ops/sw.py: identical semantics (same recurrences,
-tie rules, and boundary handling as sw.cpp:5-146 — see ops/sw.py for the
-specification), but with the whole DP state resident in VMEM:
+Device implementations of ops/sw.py with identical semantics (same
+recurrences, tie rules, and boundary handling as sw.cpp:5-146 — ops/sw.py
+is the executable specification):
 
-* grid over batch tiles (128 pairs per tile, one pair per lane);
-* target rows live in sublanes (R = tlen+1), so the per-diagonal shift is a
-  cross-sublane roll;
-* the anti-diagonal loop runs *inside* the kernel (fori_loop), so carries
-  never touch HBM — the lax.scan fallback pays ~60x more memory traffic;
-* traceback is emitted as 4-bit nibbles (2b move + 1b E-extend + 1b
-  F-extend), 8 diagonals packed per int32 word, streamed to HBM.  The host
-  decode (ops/cigar.py:decode_packed) reconstructs the reference's exact
-  run-length jumps from the extend bits.
+* `_sw_banded_kernel` / `sw_pallas_banded` — the performance path:
+  32-row staggered bands (sublane s of band b = matrix row b*BH+s+1 at
+  column t-s+1), SW's vertical-gap stream pre-combined as
+  A = max(H-open, E-ext) with its extend bit packed in the LSB, one
+  (A, H) row per column crossing bands through a double-buffered VMEM
+  carry.  Supports full traceback (band-major nibble words DMA'd to HBM,
+  decoded by the native banded decoder) and a score-only mode, both with
+  on-device ScoreMax under the reference's exact tie rules.
+* `_sw_kernel` / `sw_pallas_forward` — the original full-height plane
+  wavefront (kept as a second implementation and cross-check: one
+  anti-diagonal of all R1p rows per step).
+* `_sw_score_kernel` / `sw_pallas_scores` — plane score-only variant.
 
-Layout summary (per 128-lane tile):
-  tchar   (R1p, 128) int32   target char per row
-  qpad    (QP, 128)  int32   query chars, read one row per diagonal
-  state   (R1p, 128) int32 x {sc ping-pong, E, F, gapv, gaph, qdiag}
+All kernels put 128 pairs in the VPU lanes (inter-pair vectorization; the
+reference's AVX lanes instead span one pair's anti-diagonal) and run the
+wavefront loop inside the kernel so DP state never touches HBM.
 """
 
 from __future__ import annotations

@@ -107,3 +107,31 @@ def test_metrics_and_debug_check(monkeypatch):
     snap = METRICS.snapshot()
     assert snap["counters"]["sw.pairs"] == 1
     assert snap["calls"]["sw.align_batch"] == 1
+
+
+def test_sam_writer_roundtrip(tmp_path):
+    """map -> sort -> SAM: header, coordinate order, CIGAR/pos fields."""
+    import numpy as np
+
+    from mgl_tpu.io.sam import write_sam
+    from mgl_tpu.pipelines.align_sort import align_and_sort
+    from mgl_tpu.pipelines.mapper import ReferenceIndex
+
+    rng = np.random.default_rng(3)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    ref = rng.choice(alpha, 50_000)
+    idx = ReferenceIndex.build(ref, k=16)
+    starts = rng.integers(0, len(ref) - 100, 40)
+    reads = ref[starts[:, None] + np.arange(100)[None, :]].copy()
+    out = align_and_sort(idx, reads)
+    p = tmp_path / "out.sam"
+    n = write_sam(p, idx, reads, out)
+    lines = p.read_text().splitlines()
+    assert lines[0].startswith("@HD") and "SO:coordinate" in lines[0]
+    assert lines[1] == f"@SQ\tSN:ref\tLN:{len(ref)}"
+    recs = [l.split("\t") for l in lines if not l.startswith("@")]
+    assert len(recs) == n == 40
+    poss = [int(r[3]) for r in recs if int(r[1]) & 0x4 == 0]
+    assert poss == sorted(poss), "records not coordinate-sorted"
+    assert all(r[5] == "100M" for r in recs if int(r[1]) & 0x4 == 0)
+    assert all(len(r[9]) == 100 for r in recs)
