@@ -48,6 +48,16 @@ def _as_u8(seq) -> np.ndarray:
     return a
 
 
+def _sw_fits_vmem(tlen: int, qlen: int, budget_mb: float = 12.0) -> bool:
+    """Whether the banded SW kernel's working set fits VMEM (~16 MB/core;
+    measured envelope: 8000x2000 fits, 8000x6000 does not)."""
+    rb = (tlen + 31) // 32 * 32
+    qr = qlen + 40
+    qcp = qlen + 40
+    est = (rb + qr + 4 * qcp + 256) * 128 * 4
+    return est <= budget_mb * 1e6
+
+
 def _default_impl() -> str:
     import os
 
@@ -86,17 +96,20 @@ class SmithWatermanAligner:
         from mgl_tpu.utils.metrics import METRICS
 
         impl = self.impl if self.impl != "auto" else _default_impl()
-        if impl == "pallas":
-            from mgl_tpu.kernels.sw_pallas import align_batch_banded as backend
-        else:
-            backend = sw_ops.align_batch
         results: list[SWResult | None] = [None] * len(refs)
         buckets = bucket_pairs([len(r) for r in refs], [len(a) for a in alts],
                                max_batch=self.max_batch)
         METRICS.count("sw.pairs", len(refs))
         METRICS.count("sw.buckets", len(buckets))
         with METRICS.timer("sw.align_batch"):
-            for (_pt, _pq), idxs in buckets:
+            for (pt, pq), idxs in buckets:
+                if impl == "pallas" and _sw_fits_vmem(pt, pq):
+                    from mgl_tpu.kernels.sw_pallas import (
+                        align_batch_banded as backend)
+                else:
+                    # oversized pairs (long reads) stream through the
+                    # XLA scan path, which has no VMEM bound
+                    backend = sw_ops.align_batch
                 got = backend(
                     [refs[i].tobytes() for i in idxs],
                     [alts[i].tobytes() for i in idxs],

@@ -52,3 +52,20 @@ def test_api_validation():
         a.align(b"", b"ACGT", p, OverhangStrategy.SOFTCLIP)
     with pytest.raises(ValueError):
         a.align_batch([b"ACGT"], [], p, OverhangStrategy.SOFTCLIP)
+
+
+def test_long_pair_vmem_fallback():
+    """Pairs too large for the banded kernel's VMEM working set route to
+    the XLA path automatically and still align exactly."""
+    from mgl_tpu.api import _sw_fits_vmem
+
+    assert _sw_fits_vmem(8000, 2000)
+    assert not _sw_fits_vmem(8000, 6000)
+    rng = np.random.default_rng(0)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    t = rng.choice(alpha, 9000).tobytes()
+    q = bytearray(t[500:7600])
+    q[3000:3000] = b"ACGTT"
+    r = SmithWatermanAligner().align(t, bytes(q), SWParameters(25, -50, 110, 6),
+                                     OverhangStrategy.SOFTCLIP)
+    assert r.cigar == "3000M5I4100M" and r.offset == 500
