@@ -688,7 +688,7 @@ def sw_pallas_forward(
         ]
         out_specs = [
             pl.BlockSpec((6, LANES), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
     else:
         out_shapes = [
@@ -804,7 +804,7 @@ def sw_pallas_banded(
     if with_traceback:
         out_specs = [
             pl.BlockSpec((6, LANES), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((6, Bp), jnp.int32),

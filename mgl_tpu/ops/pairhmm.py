@@ -257,6 +257,17 @@ def pairhmm_forward_f32(
     return final[-1]
 
 
+def _pairhmm_fits_vmem(rdlen: int, haplen: int,
+                       budget_mb: float = 12.0) -> bool:
+    """Whether the banded PairHMM kernel's working set (9 transition/char
+    planes + hap rows + 4 carry columns) fits VMEM; oversized long-read
+    buckets fall back to the XLA scan path."""
+    rb = (rdlen + 31) // 32 * 32
+    hr = haplen + 40
+    est = (9 * rb + hr + 4 * hr + 256) * 128 * 4
+    return est <= budget_mb * 1e6
+
+
 def _use_pallas(impl: str) -> bool:
     import os
 
@@ -353,7 +364,7 @@ def compute_likelihoods(
         for (pa, pb), idxs in bucket_pairs(la, lb):
             sel = [dp_pairs[k] for k in idxs]
             sub_pairs = [pair_index[b] for b in sel]
-            if use_pallas:
+            if use_pallas and _pairhmm_fits_vmem(pa, pb):
                 # device-side product expansion: ship per-read/per-hap
                 # planes once, gather per-pair lanes on device
                 from mgl_tpu.kernels.pairhmm_pallas import (
