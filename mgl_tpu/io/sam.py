@@ -45,8 +45,9 @@ def write_sam(path, index, reads: np.ndarray, result: dict,
 
     ``result``: dict with pos (window start per read), plus either
     ``order`` (from align_and_sort, coordinate order) and optional
-    cigar/offset arrays (map_reads with_cigar=True).  Returns the number
-    of records written.
+    cigar/offset arrays (map_reads with_cigar=True).  Multi-contig
+    indexes emit per-contig @SQ lines and contig-local positions.
+    Returns the number of records written.
     """
     n = len(reads)
     order = result.get("order")
@@ -55,12 +56,18 @@ def write_sam(path, index, reads: np.ndarray, result: dict,
                                     np.iinfo(np.int64).max), kind="stable")
     cigars = result.get("cigar")
     offsets = result.get("offset")
+    contig, local = index.locate(result["pos"])
+    if index.contig_names is not None:
+        rnames = index.contig_names
+        rlens = [int(x) for x in index.contig_lengths]
+    else:
+        rnames, rlens = [ref_name], [len(index.ref)]
     L = reads.shape[1]
     written = 0
     with open(path, "w") as f:
-        f.write(sam_header([ref_name], [len(index.ref)]))
+        f.write(sam_header(rnames, rlens))
         for i in map(int, order):
-            pos0 = int(result["pos"][i])
+            pos0 = int(local[i])
             if cigars is not None and pos0 >= 0:
                 cig = cigars[i] or "*"
                 pos_out = pos0 + (int(offsets[i]) if offsets is not None else 0)
@@ -71,7 +78,8 @@ def write_sam(path, index, reads: np.ndarray, result: dict,
             flag = 0 if pos0 >= 0 else FLAG_UNMAPPED
             mapq = min(60, int(result.get("votes", np.zeros(n))[i]) * 7) \
                 if pos0 >= 0 else 0
-            f.write(sam_record(name, flag, ref_name, pos_out, mapq, cig,
+            rn = rnames[int(contig[i])] if pos0 >= 0 else "*"
+            f.write(sam_record(name, flag, rn, pos_out, mapq, cig,
                                reads[i].tobytes(),
                                None if quals is None else quals[i]))
             written += 1

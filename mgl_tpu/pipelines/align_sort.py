@@ -24,15 +24,20 @@ def coordinate_keys(contig: np.ndarray, pos: np.ndarray,
 
 
 def align_and_sort(index: ReferenceIndex, reads: np.ndarray,
-                   contig_id: int = 0, mesh=None, impl: str = "auto"):
+                   mesh=None, impl: str = "auto"):
     """Map reads, then emit them in global coordinate order.
 
-    Returns dict: order (read indices sorted by coordinate), keys (sorted),
-    pos/score per read (original order).
+    Multi-contig indexes (ReferenceIndex.build_multi) sort by
+    (contig, local position); single-contig by position.  Returns dict:
+    order (read indices sorted by coordinate), keys (sorted), pos/score
+    per read (original order), plus contig/local_pos per read.
     """
     res = map_reads(index, reads, impl=impl)
     n = len(reads)
-    keys = coordinate_keys(np.full(n, contig_id), res["pos"],
+    contig, local = index.locate(res["pos"])
+    res["contig"], res["local_pos"] = contig, local
+    keys = coordinate_keys(np.where(contig >= 0, contig, 0),
+                           np.where(local >= 0, local, -1),
                            np.arange(n) & 0xFFFF)
     vals = np.arange(n, dtype=np.int32)
 
@@ -48,4 +53,5 @@ def align_and_sort(index: ReferenceIndex, reads: np.ndarray,
         skeys, order = sort_records_single(keys, vals)
 
     return {"order": order, "keys": skeys,
-            "pos": res["pos"], "score": res["score"]}
+            "pos": res["pos"], "score": res["score"],
+            "contig": res["contig"], "local_pos": res["local_pos"]}

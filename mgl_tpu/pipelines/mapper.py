@@ -62,13 +62,53 @@ class ReferenceIndex:
     mapper's bottleneck at chromosome scale)."""
 
     k: int
-    ref: np.ndarray              # ASCII uint8
+    ref: np.ndarray              # ASCII uint8 (contigs N-joined)
     sorted_kmers: np.ndarray     # (M,) uint64
     positions: np.ndarray        # (M,) int32 — ref offset of each kmer
     max_hits: int = 64
     prefix_table: np.ndarray | None = None   # (4^13 + 1,) int64 bucket starts
+    contig_names: list | None = None
+    contig_offsets: np.ndarray | None = None  # start of each contig in ref
+    contig_lengths: np.ndarray | None = None
     _ref_dev: object = None
     _win_fns: dict | None = None
+
+    @staticmethod
+    def build_multi(contigs: list[tuple[str, np.ndarray]], k: int = 16,
+                    max_hits: int = 64) -> "ReferenceIndex":
+        """Index several contigs as one coordinate space.  Contigs are
+        joined with k ambiguous bases so no k-mer spans a boundary (the
+        N-validity mask in _kmers drops them)."""
+        sep = np.full(k, ord("N"), np.uint8)
+        parts, names, offs, lens = [], [], [], []
+        at = 0
+        for name, seq in contigs:
+            s = (np.frombuffer(bytes(seq), np.uint8)
+                 if not isinstance(seq, np.ndarray) else seq.astype(np.uint8))
+            names.append(name)
+            offs.append(at)
+            lens.append(len(s))
+            parts.append(s)
+            parts.append(sep)
+            at += len(s) + k
+        idx = ReferenceIndex.build(np.concatenate(parts), k=k,
+                                   max_hits=max_hits)
+        idx.contig_names = names
+        idx.contig_offsets = np.asarray(offs, np.int64)
+        idx.contig_lengths = np.asarray(lens, np.int64)
+        return idx
+
+    def locate(self, pos: np.ndarray):
+        """Global positions -> (contig_id, local_pos); single-contig
+        indexes report contig 0.  Unmapped (pos < 0) stays (-1, -1)."""
+        pos = np.asarray(pos, np.int64)
+        if self.contig_offsets is None:
+            cid = np.where(pos >= 0, 0, -1)
+            return cid, np.where(pos >= 0, pos, -1)
+        cid = np.searchsorted(self.contig_offsets, pos, "right") - 1
+        local = pos - self.contig_offsets[np.clip(cid, 0, None)]
+        bad = pos < 0
+        return np.where(bad, -1, cid), np.where(bad, -1, local)
 
     @staticmethod
     def build(ref_seq, k: int = 16, max_hits: int = 64) -> "ReferenceIndex":

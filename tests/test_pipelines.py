@@ -127,3 +127,47 @@ def test_exact_match_fast_tier_equals_sw(sim):
         sw = sw_score_batch(window[None, :], mix[i][None, :],
                             SWParameters(25, -50, 110, 6))
         assert got["score"][i] == sw[0], i
+
+
+def test_multi_contig_map_sort_sam(tmp_path):
+    """Reads from three contigs map back, sort by (contig, local pos), and
+    emit multi-contig SAM."""
+    from mgl_tpu.io.sam import write_sam
+    from mgl_tpu.pipelines.align_sort import align_and_sort
+
+    rng = np.random.default_rng(8)
+    contigs = [(f"chr{i+1}", rng.choice(BASES, size=20_000 + 5_000 * i))
+               for i in range(3)]
+    idx = ReferenceIndex.build_multi(contigs, k=16)
+    reads, truth = [], []
+    L = 100
+    for cid, (_, seq) in enumerate(contigs):
+        for _ in range(30):
+            st = int(rng.integers(0, len(seq) - L))
+            reads.append(seq[st: st + L])
+            truth.append((cid, st))
+    reads = np.stack(reads)
+    out = align_and_sort(idx, reads)
+    mapped = out["pos"] >= 0
+    assert mapped.mean() > 0.95
+    # contig attribution and local positions match the simulation
+    for i in np.nonzero(mapped)[0]:
+        cid, st = truth[i]
+        assert out["contig"][i] == cid, i
+        assert abs(out["local_pos"][i] - st) <= 32, i
+    # no read may map into the N spacer region
+    assert np.all(out["local_pos"][mapped]
+                  < idx.contig_lengths[out["contig"][mapped]])
+    # sorted order is (contig, local) nondecreasing
+    oc = out["contig"][out["order"]]
+    ol = out["local_pos"][out["order"]]
+    m = oc >= 0
+    keys = list(zip(oc[m], ol[m]))
+    assert keys == sorted(keys)
+    # SAM output
+    p = tmp_path / "mc.sam"
+    nrec = write_sam(p, idx, reads, out)
+    lines = p.read_text().splitlines()
+    sq = [l for l in lines if l.startswith("@SQ")]
+    assert [l.split("\t")[1][3:] for l in sq] == ["chr1", "chr2", "chr3"]
+    assert nrec == len(reads)
