@@ -10,7 +10,7 @@ small (every new (T, Q) pad shape costs an XLA compile).
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Iterable, Sequence
+from typing import Sequence
 
 
 def bucket_dims(n: int, grid: Sequence[int] = (64, 128, 192, 256, 384, 512, 768, 1024)) -> int:

@@ -28,7 +28,6 @@ likelihood = log10(score) - log10(2^120).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
