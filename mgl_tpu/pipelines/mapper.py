@@ -349,12 +349,14 @@ def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32,
     return fn
 
 
-def sw_score_windows(index: "ReferenceIndex", starts: np.ndarray,
-                     reads: np.ndarray, wlen: int, params) -> np.ndarray:
-    """Best SW score of each read vs its reference window, with the window
-    gather running on device (reference resident in HBM)."""
+def _sw_score_windows_async(index: "ReferenceIndex", starts: np.ndarray,
+                            reads: np.ndarray, wlen: int, params):
+    """Launch the device window-score kernel without blocking; returns the
+    device ez handle and the real pair count (JAX dispatch is async, so
+    host work for the next chunk overlaps this chunk's device time)."""
     import jax.numpy as jnp
 
+    from mgl_tpu.batch.bucketing import bucket_dims
     from mgl_tpu.kernels.sw_pallas import LANES, _round_up
 
     if getattr(index, "_ref_dev", None) is None:
@@ -364,8 +366,6 @@ def sw_score_windows(index: "ReferenceIndex", starts: np.ndarray,
         index._ref_dev = jnp.asarray(padded)
     B, L = reads.shape
     # bucket the lane count so recompiles don't track every batch size
-    from mgl_tpu.batch.bucketing import bucket_dims
-
     Bp = _round_up(bucket_dims(B, (1024, 4096, 16384, 32768, 65536,
                                    131072, 262144)), LANES)
     st = np.zeros(Bp, np.int32)
@@ -382,7 +382,75 @@ def sw_score_windows(index: "ReferenceIndex", starts: np.ndarray,
     ez, _ = fn(index._ref_dev, jnp.asarray(st), jnp.asarray(rd),
                params.match, params.mismatch, params.gap_open,
                params.gap_extend)
+    return ez, B
+
+
+def sw_score_windows(index: "ReferenceIndex", starts: np.ndarray,
+                     reads: np.ndarray, wlen: int, params) -> np.ndarray:
+    """Best SW score of each read vs its reference window, with the window
+    gather running on device (reference resident in HBM)."""
+    ez, B = _sw_score_windows_async(index, starts, reads, wlen, params)
     return np.asarray(ez)[2, :B].astype(np.int64)
+
+
+def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
+                     chunk: int = 131072, window_pad: int = 24,
+                     params=None) -> dict:
+    """Chunked score-mode mapping with host/device overlap: while the chip
+    verifies chunk k, the host seeds and exact-tiers chunk k+1 (JAX
+    dispatch is asynchronous; results are materialized one chunk behind).
+    Same outputs as map_reads without with_cigar."""
+    from mgl_tpu.core.params import SWParameters
+
+    params = params or SWParameters(25, -50, 110, 6)
+    N, L = reads.shape
+    wlen = L + 2 * window_pad
+    out = {
+        "pos": np.full(N, -1, np.int64),
+        "score": np.full(N, -(2**30), np.int64),
+        "votes": np.zeros(N, np.int32),
+    }
+    pending = None
+
+    def finalize(p):
+        ez, B, idxs = p
+        out["score"][idxs] = np.asarray(ez)[2, :B].astype(np.int64)
+
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        sub = reads[lo:hi]
+        pos, votes = seed_candidates(index, sub, L)
+        out["votes"][lo:hi] = votes
+        mapped = np.nonzero(pos >= 0)[0]
+        if len(mapped) == 0:
+            if pending is not None:
+                finalize(pending)
+                pending = None
+            continue
+        start = np.clip(pos[mapped] - window_pad, 0,
+                        max(len(index.ref) - wlen, 0)).astype(np.int64)
+        win_idx = start[:, None] + np.arange(wlen)[None, :]
+        windows = index.ref[np.clip(win_idx, 0, len(index.ref) - 1)]
+        rsub = sub[mapped]
+        exact = np.zeros(len(mapped), bool)
+        for o in range(window_pad, min(window_pad + 8, wlen - L + 1)):
+            m = ~exact
+            m[m] = (windows[m, o: o + L] == rsub[m]).all(axis=1)
+            exact |= m
+        out["pos"][lo + mapped] = start
+        out["score"][lo + mapped[exact]] = L * int(params.match)
+        rest = ~exact
+        launched = None
+        if rest.any():
+            ez, B = _sw_score_windows_async(index, start[rest], rsub[rest],
+                                            wlen, params)
+            launched = (ez, B, lo + mapped[rest])
+        if pending is not None:
+            finalize(pending)
+        pending = launched
+    if pending is not None:
+        finalize(pending)
+    return out
 
 
 def sw_cigar_windows(index: "ReferenceIndex", starts: np.ndarray,
