@@ -171,3 +171,32 @@ def test_multi_contig_map_sort_sam(tmp_path):
     sq = [l for l in lines if l.startswith("@SQ")]
     assert [l.split("\t")[1][3:] for l in sq] == ["chr1", "chr2", "chr3"]
     assert nrec == len(reads)
+
+
+def test_mapper_handles_indel_reads():
+    """Reads containing small indels still map (diagonal bins absorb the
+    shift; the SW verify scores them below perfect but well above junk)."""
+    rng = np.random.default_rng(12)
+    ref = rng.choice(BASES, size=100_000)
+    idx = ReferenceIndex.build(ref, k=16)
+    L = 150
+    reads, starts = [], []
+    for _ in range(120):
+        st = int(rng.integers(0, len(ref) - L - 10))
+        b = bytearray(ref[st: st + L + 6].tobytes())
+        p = int(rng.integers(20, L - 20))
+        if rng.random() < 0.5:
+            del b[p: p + int(rng.integers(1, 4))]       # deletion
+        else:
+            ins = rng.choice(BASES, int(rng.integers(1, 4))).tobytes()
+            b[p:p] = ins                                 # insertion
+        reads.append(np.frombuffer(bytes(b[:L]), np.uint8))
+        starts.append(st)
+    reads = np.stack(reads)
+    out = map_reads(idx, reads)
+    mapped = out["pos"] >= 0
+    assert mapped.mean() > 0.95
+    ok = np.abs(out["pos"][mapped] - (np.array(starts)[mapped] - 24)) <= 40
+    assert ok.mean() > 0.9
+    # indel reads can't hit the exact tier; SW must still score them high
+    assert (out["score"][mapped] > 0.7 * 25 * L).mean() > 0.9
