@@ -224,3 +224,25 @@ def cigar_decode_bulk_banded(words: np.ndarray, ez: dict, tlen: np.ndarray,
         n = int(np.argmax(row == 0))
         out.append((row[:n].tobytes().decode(), int(offsets[b])))
     return out
+
+
+def score_max_bulk(last_col: np.ndarray, last_row: np.ndarray,
+                   tlen: np.ndarray, qlen: np.ndarray):
+    """Native ScoreMax over per-diagonal samples ((D, B) int32 arrays from
+    the XLA forward).  Returns the ez dict or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(tlen)
+    lc = np.ascontiguousarray(last_col, np.int32)
+    lr = np.ascontiguousarray(last_row, np.int32)
+    lane = np.arange(B, dtype=np.int32)
+    i32 = lambda a: np.ascontiguousarray(a, np.int32)
+    tl, ql = i32(tlen), i32(qlen)
+    outs = {k: np.zeros(B, np.int32) for k in
+            ("mqe", "mqe_t", "max", "max_t", "max_q", "seg_length")}
+    lib.score_max_batch(
+        B, _ptr(lc), _ptr(lr), lc.shape[1], _ptr(lane), _ptr(tl), _ptr(ql),
+        _ptr(outs["mqe"]), _ptr(outs["mqe_t"]), _ptr(outs["max"]),
+        _ptr(outs["max_t"]), _ptr(outs["max_q"]), _ptr(outs["seg_length"]))
+    return {k: v.astype(np.int64) for k, v in outs.items()}

@@ -199,8 +199,13 @@ def compute_score_max(
     tlen: np.ndarray,
     qlen: np.ndarray,
 ) -> dict:
-    """Vectorized-over-rows ScoreMax per pair.  Returns dict of (B,) arrays:
-    mqe, mqe_t, max, max_t, max_q, seg_length."""
+    """ScoreMax per pair (native fast path, NumPy fallback).  Returns dict
+    of (B,) arrays: mqe, mqe_t, max, max_t, max_q, seg_length."""
+    from mgl_tpu.native import score_max_bulk
+
+    native = score_max_bulk(last_col, last_row, tlen, qlen)
+    if native is not None:
+        return native
     B = len(tlen)
     out = {k: np.zeros(B, dtype=np.int64) for k in
            ("mqe", "mqe_t", "max", "max_t", "max_q", "seg_length")}
