@@ -131,3 +131,75 @@ def test_pairhmm_fuzz_vs_reference():
         else:                                    # rescue tier (double)
             want = math.log10(sd) - 1020 * math.log10(2)
         assert abs(lik - want) < 1e-5, (k, lik, want, cases[k][:2])
+
+
+@pytest.mark.slow
+def test_sw_long_fuzz_vs_reference():
+    """Extended lengths (200-800 bp) beyond the stored golden corpus."""
+    from mgl_tpu.api import OverhangStrategy, SmithWatermanAligner, SWParameters
+
+    rng = np.random.default_rng()
+    cases = []
+    for _ in range(48):
+        t = _rand_seq(rng, 200, 800)
+        q = _mutate(rng, t) if rng.random() < 0.8 else _rand_seq(rng, 150, 700)
+        cases.append((t, q, int(rng.choice([1, 2, 4, 8]))))
+    lines = [f"{t.decode()} {q.decode()} 25 -50 -110 -6 {s}"
+             for t, q, s in cases]
+    ref = _oracle("sw", lines)
+    a = SmithWatermanAligner()
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for i, c in enumerate(cases):
+        groups[c[2]].append(i)
+    ours = [None] * len(cases)
+    for s, idxs in groups.items():
+        res = a.align_batch([cases[i][0] for i in idxs],
+                            [cases[i][1] for i in idxs],
+                            SWParameters(25, -50, 110, 6),
+                            OverhangStrategy(s))
+        for i, r in zip(idxs, res):
+            ours[i] = r
+    for i, (line, r) in enumerate(zip(ref, ours)):
+        cs, off = line.split()[:2]
+        assert r.cigar == cs and r.offset == int(off), (i, cases[i][2])
+
+
+@pytest.mark.slow
+def test_pairhmm_long_fuzz_vs_reference():
+    """Extended hap lengths (300-900 bp) against the reference cascade."""
+    from mgl_tpu.api import PairHmmEngine
+
+    rng = np.random.default_rng()
+    cases = []
+    for _ in range(24):
+        hap = _rand_seq(rng, 300, 900)
+        n = int(rng.integers(150, 420))
+        if rng.random() < 0.7 and len(hap) > n:
+            st = int(rng.integers(0, len(hap) - n))
+            read = bytearray(hap[st: st + n])
+            for _ in range(int(rng.integers(0, 6))):
+                read[int(rng.integers(n))] = int(rng.choice(ALPHA))
+            read = bytes(read)
+        else:
+            read = _rand_seq(rng, 150, 420)
+        n = len(read)
+        q = rng.integers(6, 50, n).astype(np.uint8)
+        i = rng.integers(30, 50, n).astype(np.uint8)
+        d = rng.integers(30, 50, n).astype(np.uint8)
+        c = np.full(n, 10, np.uint8)
+        cases.append((hap, read, q, i, d, c))
+    fmt = lambda a: ",".join(str(int(v)) for v in a)
+    lines = [f"{h.decode()} {r.decode()} {fmt(q)} {fmt(i)} {fmt(d)} {fmt(c)}"
+             for h, r, q, i, d, c in cases]
+    ref = _oracle("pairhmm", lines)
+    eng = PairHmmEngine()
+    for k, (h, r, q, i, d, c) in enumerate(cases):
+        lik = eng.compute_likelihoods(
+            [dict(bases=np.frombuffer(r, np.uint8), q=q, i=i, d=d, c=c)],
+            [np.frombuffer(h, np.uint8)])[0, 0]
+        cols = ref[k].split()
+        sf, sd = float.fromhex(cols[0]), float.fromhex(cols[1])
+        want = (math.log10(sf) - 120 * math.log10(2) if sf >= 1e-28
+                else math.log10(sd) - 1020 * math.log10(2))
+        assert abs(lik - want) < 1e-5, (k, lik, want)
