@@ -48,6 +48,21 @@ def _as_u8(seq) -> np.ndarray:
     return a
 
 
+# base normalization for the PairHMM engine: uppercase ACGT, everything
+# else (IUPAC ambiguity codes, gaps, junk) -> N.  This pins one alphabet
+# across all kernel tiers (pallas one-hot, XLA spec, f64 rescue), which
+# would otherwise disagree on non-ACGTN bytes; the reference only ever
+# sees ACGTN from GATK.
+_BASE_NORM = np.full(256, ord("N"), np.uint8)
+for _c in b"ACGT":
+    _BASE_NORM[_c] = _c
+    _BASE_NORM[_c + 32] = _c
+
+
+def _norm_bases(a: np.ndarray) -> np.ndarray:
+    return _BASE_NORM[a]
+
+
 def _sw_fits_vmem(tlen: int, qlen: int, budget_mb: float = 12.0) -> bool:
     """Whether the banded SW kernel's working set fits VMEM (~16 MB/core;
     measured envelope: 8000x2000 fits, 8000x6000 does not)."""
@@ -145,7 +160,7 @@ class PairHmmEngine:
 
         norm_reads = []
         for rd in reads:
-            bases = _as_u8(rd["bases"])
+            bases = _norm_bases(_as_u8(rd["bases"]))
             n = len(bases)
             r = {"bases": bases}
             for k in ("q", "i", "d", "c"):
@@ -154,7 +169,7 @@ class PairHmmEngine:
                     raise ValueError(f"quality track '{k}' length {a.shape} != read length {n}")
                 r[k] = a
             norm_reads.append(r)
-        norm_haps = [_as_u8(h) for h in haps]
+        norm_haps = [_norm_bases(_as_u8(h)) for h in haps]
         return compute_likelihoods(norm_reads, norm_haps, self.use_double,
                                    use_fast_path=self.fast_path,
                                    impl=self.impl)

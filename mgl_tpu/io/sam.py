@@ -56,7 +56,20 @@ def write_sam(path, index, reads: np.ndarray, result: dict,
                                     np.iinfo(np.int64).max), kind="stable")
     cigars = result.get("cigar")
     offsets = result.get("offset")
-    contig, local = index.locate(result["pos"])
+    # effective alignment start = window start + in-window offset when the
+    # aligner pinned it (CIGAR mode or the exact tier); score-only SW
+    # verified reads have no pinned offset and emit CIGAR '*' at the
+    # seed-estimated position
+    pos = np.asarray(result["pos"], np.int64)
+    pad = result.get("window_pad", 24)
+    if offsets is not None:
+        off = np.asarray(offsets, np.int64)
+        pinned = off >= 0
+        eff = np.where(pos >= 0, pos + np.where(pinned, off, pad), -1)
+    else:
+        pinned = np.zeros(len(pos), bool)
+        eff = np.where(pos >= 0, pos + pad, -1)
+    contig, local = index.locate(eff)
     if index.contig_names is not None:
         rnames = index.contig_names
         rlens = [int(x) for x in index.contig_lengths]
@@ -67,18 +80,18 @@ def write_sam(path, index, reads: np.ndarray, result: dict,
     with open(path, "w") as f:
         f.write(sam_header(rnames, rlens))
         for i in map(int, order):
-            pos0 = int(local[i])
-            if cigars is not None and pos0 >= 0:
+            pos_out = int(local[i])
+            if cigars is not None and pos_out >= 0:
                 cig = cigars[i] or "*"
-                pos_out = pos0 + (int(offsets[i]) if offsets is not None else 0)
+            elif pos_out >= 0 and pinned[i]:
+                cig = f"{L}M"            # exact tier: provably all-match
             else:
-                cig = f"{L}M" if pos0 >= 0 else "*"
-                pos_out = pos0
+                cig = "*"                # mapped but CIGAR not computed
             name = names[i] if names is not None else f"read{i}"
-            flag = 0 if pos0 >= 0 else FLAG_UNMAPPED
+            flag = 0 if pos_out >= 0 else FLAG_UNMAPPED
             mapq = min(60, int(result.get("votes", np.zeros(n))[i]) * 7) \
-                if pos0 >= 0 else 0
-            rn = rnames[int(contig[i])] if pos0 >= 0 else "*"
+                if pos_out >= 0 else 0
+            rn = rnames[int(contig[i])] if pos_out >= 0 else "*"
             f.write(sam_record(name, flag, rn, pos_out, mapq, cig,
                                reads[i].tobytes(),
                                None if quals is None else quals[i]))

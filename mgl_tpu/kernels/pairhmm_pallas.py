@@ -44,8 +44,7 @@ for _ch, _v in ((b"Aa", 1), (b"Cc", 2), (b"Gg", 4), (b"Tt", 8), (b"Nn", 15)):
         BASE_ENC[_c] = _v
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from mgl_tpu.utils import round_up as _round_up  # shared helper
 
 
 def _pairhmm_kernel(

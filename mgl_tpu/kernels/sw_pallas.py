@@ -38,8 +38,7 @@ LANES = 128
 NEG = np.int32(DP_NEG_INF)
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from mgl_tpu.utils import round_up as _round_up  # shared helper
 
 
 def _sw_kernel(

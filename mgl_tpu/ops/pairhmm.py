@@ -175,9 +175,8 @@ def pack_pairs(
     return out
 
 
-def _shift_down(x: jax.Array, fill) -> jax.Array:
-    fill_col = jnp.full(x.shape[:-1] + (1,), fill, dtype=x.dtype)
-    return jnp.concatenate([fill_col, x[..., :-1]], axis=-1)
+from mgl_tpu.utils import shift_down as _shift_down  # shared
+
 
 
 @jax.jit

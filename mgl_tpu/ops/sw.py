@@ -50,15 +50,13 @@ class SWForwardResult(NamedTuple):
     last_row: jax.Array
 
 
-def _shift_down(x: jax.Array, fill) -> jax.Array:
-    """out[..., r] = x[..., r-1]; out[..., 0] = fill."""
-    fill_col = jnp.full(x.shape[:-1] + (1,), fill, dtype=x.dtype)
-    return jnp.concatenate([fill_col, x[..., :-1]], axis=-1)
+from mgl_tpu.utils import shift_down as _shift_down  # shared
+
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("indel_init", "with_traceback", "t_pad", "q_pad"),
+    static_argnames=("indel_init", "with_traceback"),
 )
 def sw_forward(
     target: jax.Array,   # (B, T) int32 ASCII codes, zero-padded
@@ -72,8 +70,6 @@ def sw_forward(
     *,
     indel_init: bool,
     with_traceback: bool = True,
-    t_pad: int = 0,
-    q_pad: int = 0,
 ) -> SWForwardResult:
     """Batched affine-gap DP over anti-diagonals.
 

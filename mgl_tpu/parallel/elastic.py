@@ -60,9 +60,14 @@ class ShardCoordinator:
     # -- worker API ---------------------------------------------------
 
     def heartbeat(self, worker: str) -> None:
+        """Record liveness and renew the worker's in-flight leases."""
         with self._lock:
-            self._last_beat[worker] = self._clock()
+            now = self._clock()
+            self._last_beat[worker] = now
             self._dead.discard(worker)
+            for sh in self._shards:
+                if sh.state == "leased" and sh.owner == worker:
+                    sh.lease_deadline = now + self._lease_ttl
 
     def lease(self, worker: str) -> tuple[int, Any] | None:
         """Next shard for ``worker``; None when nothing is leasable."""
@@ -144,12 +149,26 @@ def run_elastic(
     ``fail(worker, shard_id)`` (test hook) makes a worker die mid-shard:
     it stops heartbeating and abandons the shard, which the coordinator
     re-dispatches to the surviving workers.
+
+    Each worker runs a background heartbeat thread so shards that take
+    longer than heartbeat_ttl/lease_ttl are not falsely reaped from a
+    healthy owner (heartbeats renew lease deadlines).
     """
     coord = ShardCoordinator(shards, lease_ttl=lease_ttl,
                              heartbeat_ttl=heartbeat_ttl)
     errors: list[BaseException] = []
 
     def worker(name: str):
+        alive = threading.Event()
+        alive.set()
+
+        def beat():
+            while alive.is_set():
+                coord.heartbeat(name)
+                time.sleep(heartbeat_ttl / 3.0)
+
+        hb = threading.Thread(target=beat, daemon=True)
+        hb.start()
         try:
             while True:
                 got = coord.lease(name)
@@ -160,10 +179,13 @@ def run_elastic(
                     continue
                 sid, payload = got
                 if fail is not None and fail(name, sid):
-                    return            # dies silently: no heartbeat, no result
+                    alive.clear()     # dies: heartbeats stop, lease expires
+                    return
                 coord.complete(name, sid, work_fn(payload))
         except BaseException as e:  # pragma: no cover
             errors.append(e)
+        finally:
+            alive.clear()
 
     threads = [threading.Thread(target=worker, args=(f"host{i}",))
                for i in range(n_workers)]

@@ -34,7 +34,15 @@ def align_and_sort(index: ReferenceIndex, reads: np.ndarray,
     """
     res = map_reads(index, reads, impl=impl)
     n = len(reads)
-    contig, local = index.locate(res["pos"])
+    # effective alignment start: window start + in-window offset where the
+    # exact tier (or CIGAR mode) pinned it; otherwise the window centre
+    # (the seed's expected start) as the best estimate
+    off = res.get("offset")
+    pad = res.get("window_pad", 24)
+    eff = np.where(res["pos"] >= 0,
+                   res["pos"] + np.where(off >= 0, off, pad),
+                   -1)
+    contig, local = index.locate(eff)
     res["contig"], res["local_pos"] = contig, local
     keys = coordinate_keys(np.where(contig >= 0, contig, 0),
                            np.where(local >= 0, local, -1),
@@ -52,6 +60,6 @@ def align_and_sort(index: ReferenceIndex, reads: np.ndarray,
 
         skeys, order = sort_records_single(keys, vals)
 
-    return {"order": order, "keys": skeys,
-            "pos": res["pos"], "score": res["score"],
-            "contig": res["contig"], "local_pos": res["local_pos"]}
+    out = dict(res)
+    out.update({"order": order, "keys": skeys})
+    return out

@@ -223,6 +223,32 @@ def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
     return pos, votes
 
 
+
+def _exact_tier(windows: np.ndarray, rsub: np.ndarray, window_pad: int,
+                wlen: int, L: int, clipped: np.ndarray | None = None):
+    """Exact-match fast tier: returns (exact mask, per-read window offset,
+    -1 where inexact).  A read equal to a window substring provably attains
+    the SW optimum (read_len * match), so SW verification is redundant.
+    The diagonal-vote bin bounds the candidate offsets to [pad, pad+8);
+    windows clipped at a reference edge can hold the hit anywhere, so the
+    still-unmatched clipped ones get a full-range scan."""
+    exact = np.zeros(len(rsub), bool)
+    exact_o = np.full(len(rsub), -1, np.int64)
+
+    def scan(cand: np.ndarray, offsets):
+        for o in offsets:
+            m = cand & ~exact
+            m[m] = (windows[m, o: o + L] == rsub[m]).all(axis=1)
+            exact_o[m] = o
+            exact[m] = True
+
+    allc = np.ones(len(rsub), bool)
+    scan(allc, range(window_pad, min(window_pad + 8, wlen - L + 1)))
+    if clipped is not None and (clipped & ~exact).any():
+        scan(clipped, range(0, wlen - L + 1))
+    return exact, exact_o
+
+
 def map_reads(index: ReferenceIndex, reads: np.ndarray,
               window_pad: int = 24, params=None, strategy=None,
               with_cigar: bool = False, impl: str = "auto"):
@@ -243,6 +269,8 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
         "pos": np.full(N, -1, np.int64),
         "score": np.full(N, -(2**30), np.int64),
         "votes": votes,
+        "offset": np.full(N, -1, np.int64),   # window offset where known
+        "window_pad": window_pad,
     }
     if with_cigar:
         out["cigar"] = np.array([""] * N, dtype=object)
@@ -253,8 +281,10 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
     wlen = L + 2 * window_pad
     start = np.clip(pos[mapped] - window_pad, 0,
                     max(len(index.ref) - wlen, 0)).astype(np.int64)
-    win_idx = start[:, None] + np.arange(wlen)[None, :]
-    windows = index.ref[np.clip(win_idx, 0, len(index.ref) - 1)]
+
+    def gather_windows():
+        win_idx = start[:, None] + np.arange(wlen)[None, :]
+        return index.ref[np.clip(win_idx, 0, len(index.ref) - 1)]
 
     use_pallas = (impl if impl != "auto" else _default_impl_lazy()) == "pallas"
     if with_cigar and use_pallas:
@@ -267,6 +297,7 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
     elif with_cigar:
         from mgl_tpu.api import SmithWatermanAligner
 
+        windows = gather_windows()
         res = SmithWatermanAligner(impl=impl).align_batch(
             [w.tobytes() for w in windows],
             [r.tobytes() for r in reads[mapped]], params, strategy)
@@ -275,40 +306,26 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
             out["cigar"][i] = res[j].cigar
             out["offset"][i] = res[j].offset
             out["score"][i] = 0
-    elif use_pallas:
-        # device-side windowing: the reference lives in HBM once; only
-        # uint8 reads + int32 window starts cross the link per chunk
-        rsub = reads[mapped]
-        exact = np.zeros(len(mapped), bool)
-        for o in range(window_pad, min(window_pad + 8, wlen - L + 1)):
-            m = ~exact
-            m[m] = (windows[m, o: o + L] == rsub[m]).all(axis=1)
-            exact |= m
-        out["pos"][mapped] = start
-        out["score"][mapped[exact]] = L * int(params.match)
-        rest = ~exact
-        if rest.any():
-            scores = sw_score_windows(index, start[rest], rsub[rest],
-                                      wlen, params)
-            out["score"][mapped[rest]] = scores
     else:
-        # exact-match fast tier: a read equal to a window substring scores
-        # exactly read_len * match (no alignment can exceed #matches *
-        # match), so SW verification is provably redundant.  The diagonal
-        # vote quantizes to 8-base bins, so the exact hit, if any, sits at
-        # window offsets [pad, pad+8).
+        # device-side windowing on pallas (reference resident in HBM);
+        # host windows on the fallback.  Exact-tier offsets are recorded
+        # so coordinates/SAM don't have to guess.
+        windows = gather_windows()
         rsub = reads[mapped]
-        exact = np.zeros(len(mapped), bool)
-        for o in range(window_pad, min(window_pad + 8, wlen - L + 1)):
-            m = ~exact
-            m[m] = (windows[m, o: o + L] == rsub[m]).all(axis=1)
-            exact |= m
+        clipped = start != (pos[mapped] - window_pad)
+        exact, exact_o = _exact_tier(windows, rsub, window_pad, wlen, L,
+                                     clipped)
         out["pos"][mapped] = start
+        out["offset"][mapped[exact]] = exact_o[exact]
         out["score"][mapped[exact]] = L * int(params.match)
         rest = ~exact
         if rest.any():
-            scores = sw_score_batch(windows[rest], rsub[rest], params,
-                                    impl=impl)
+            if use_pallas:
+                scores = sw_score_windows(index, start[rest], rsub[rest],
+                                          wlen, params)
+            else:
+                scores = sw_score_batch(windows[rest], rsub[rest], params,
+                                        impl=impl)
             out["score"][mapped[rest]] = scores
     return out
 
@@ -409,6 +426,8 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
         "pos": np.full(N, -1, np.int64),
         "score": np.full(N, -(2**30), np.int64),
         "votes": np.zeros(N, np.int32),
+        "offset": np.full(N, -1, np.int64),
+        "window_pad": window_pad,
     }
     pending = None
 
@@ -432,12 +451,11 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
         win_idx = start[:, None] + np.arange(wlen)[None, :]
         windows = index.ref[np.clip(win_idx, 0, len(index.ref) - 1)]
         rsub = sub[mapped]
-        exact = np.zeros(len(mapped), bool)
-        for o in range(window_pad, min(window_pad + 8, wlen - L + 1)):
-            m = ~exact
-            m[m] = (windows[m, o: o + L] == rsub[m]).all(axis=1)
-            exact |= m
+        clipped = start != (pos[mapped] - window_pad)
+        exact, exact_o = _exact_tier(windows, rsub, window_pad, wlen, L,
+                                     clipped)
         out["pos"][lo + mapped] = start
+        out["offset"][lo + mapped[exact]] = exact_o[exact]
         out["score"][lo + mapped[exact]] = L * int(params.match)
         rest = ~exact
         launched = None

@@ -78,3 +78,21 @@ def test_elastic_alignment_work_matches_serial():
     out = run_elastic(shards, work, n_workers=2)
     serial = [work(s) for s in shards]
     assert [out[i] for i in range(len(shards))] == serial
+
+
+def test_slow_shard_not_reaped_from_live_worker():
+    """A healthy worker on a shard slower than heartbeat_ttl keeps its
+    lease (heartbeats renew deadlines); the shard runs exactly once."""
+    import time
+
+    calls = []
+
+    def slow_work(p):
+        calls.append(p)
+        time.sleep(0.5)            # >> ttls below
+        return p * 2
+
+    out = run_elastic(list(range(3)), slow_work, n_workers=2,
+                      lease_ttl=0.15, heartbeat_ttl=0.1)
+    assert out == {i: i * 2 for i in range(3)}
+    assert sorted(calls) == [0, 1, 2], f"shards re-executed: {sorted(calls)}"

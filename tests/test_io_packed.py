@@ -135,3 +135,49 @@ def test_sam_writer_roundtrip(tmp_path):
     assert poss == sorted(poss), "records not coordinate-sorted"
     assert all(r[5] == "100M" for r in recs if int(r[1]) & 0x4 == 0)
     assert all(len(r[9]) == 100 for r in recs)
+
+
+def test_sam_positions_exact_and_contig_boundary(tmp_path):
+    """Review regressions: (1) SAM POS must be the true alignment start,
+    not the window start; (2) reads near a contig boundary must emit on
+    the correct contig with in-range POS."""
+    import numpy as np
+
+    from mgl_tpu.io.sam import write_sam
+    from mgl_tpu.pipelines.align_sort import align_and_sort
+    from mgl_tpu.pipelines.mapper import ReferenceIndex
+
+    rng = np.random.default_rng(5)
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    contigs = [("chr1", rng.choice(BASES, 30_000)),
+               ("chr2", rng.choice(BASES, 30_000))]
+    idx = ReferenceIndex.build_multi(contigs, k=16)
+    L = 100
+    reads, truth = [], []
+    for cid, (_, seq) in enumerate(contigs):
+        # include reads at the very start of each contig (clipped windows)
+        for st in [0, 1, 5] + list(rng.integers(0, len(seq) - L, 20)):
+            reads.append(seq[st: st + L])
+            truth.append((cid, int(st)))
+    reads = np.stack(reads)
+    out = align_and_sort(idx, reads)
+    p = tmp_path / "x.sam"
+    write_sam(p, idx, reads, out)
+    lens = {"chr1": 30_000, "chr2": 30_000}
+    by_name = {}
+    for line in p.read_text().splitlines():
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        by_name[f[0]] = (f[1], f[2], int(f[3]), f[5])
+    n_exact = 0
+    for i, (cid, st) in enumerate(truth):
+        flag, rname, pos1, cig = by_name[f"read{i}"]
+        if int(flag) & 0x4:
+            continue
+        assert rname == contigs[cid][0], (i, rname, cid)
+        assert 1 <= pos1 <= lens[rname], (i, pos1)
+        if cig == f"{L}M":           # exact tier pinned the offset
+            assert pos1 - 1 == st, (i, pos1 - 1, st)
+            n_exact += 1
+    assert n_exact >= 0.9 * len(truth), "error-free reads should pin exactly"

@@ -199,3 +199,19 @@ def test_engine_fast_path_gates_correctly(pairhmm_kat):
             assert abs(lik - want) < 1e-9, (k, lik, want)
         else:
             assert lik == exact, k
+
+
+def test_engine_normalizes_alphabet():
+    """Lowercase and IUPAC bases normalize to one alphabet (acgt->ACGT,
+    other codes -> N) so every kernel tier computes the same quantity."""
+    eng = PairHmmEngine()
+    q = np.full(8, 35, np.uint8)
+    mk = lambda b: dict(bases=b, q=q, i=np.full(8, 45, np.uint8),
+                        d=np.full(8, 45, np.uint8), c=np.full(8, 10, np.uint8))
+    a = eng.compute_likelihoods([mk(b"acgtACGT")], [b"ACGTACGTACGT"])
+    b = eng.compute_likelihoods([mk(b"ACGTACGT")], [b"acgtacgtacgt"])
+    assert a[0, 0] == b[0, 0]
+    # IUPAC 'R' behaves exactly like 'N'
+    r = eng.compute_likelihoods([mk(b"ACGRACGT")], [b"ACGTACGTACGT"])
+    n = eng.compute_likelihoods([mk(b"ACGNACGT")], [b"ACGTACGTACGT"])
+    assert r[0, 0] == n[0, 0]
