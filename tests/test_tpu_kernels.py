@@ -166,3 +166,29 @@ def test_mapper_device_windowing_matches_host(tpu_backend):
     win = ref[starts[:, None] + np.arange(wlen)[None, :]]
     host = sw_score_batch(win, reads, p)
     assert np.array_equal(dev, host)
+
+
+def test_mapper_cigar_windows_match_aligner(tpu_backend):
+    """sw_cigar_windows (device windows + banded traceback + strided
+    decode) == the generic aligner on the same (window, read) pairs."""
+    from mgl_tpu.api import OverhangStrategy, SmithWatermanAligner, SWParameters
+    from mgl_tpu.pipelines.mapper import ReferenceIndex, sw_cigar_windows
+
+    rng = np.random.default_rng(6)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    ref = rng.choice(alpha, 150_000)
+    index = ReferenceIndex.build(ref, k=16)
+    B, L, wlen = 200, 120, 168
+    starts = rng.integers(0, len(ref) - wlen, B).astype(np.int32)
+    reads = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random(reads.shape) < 0.04
+    reads[mut] = rng.choice(alpha, int(mut.sum()))
+    p = SWParameters(25, -50, 110, 6)
+    got = sw_cigar_windows(index, starts, reads, wlen, p,
+                           OverhangStrategy.SOFTCLIP)
+    win = ref[starts[:, None] + np.arange(wlen)[None, :]]
+    want = SmithWatermanAligner().align_batch(
+        [w.tobytes() for w in win], [r.tobytes() for r in reads], p,
+        OverhangStrategy.SOFTCLIP)
+    for i, ((cig, off), w) in enumerate(zip(got, want)):
+        assert cig == w.cigar and off == w.offset, i
