@@ -215,3 +215,20 @@ def test_engine_normalizes_alphabet():
     r = eng.compute_likelihoods([mk(b"ACGRACGT")], [b"ACGTACGTACGT"])
     n = eng.compute_likelihoods([mk(b"ACGNACGT")], [b"ACGTACGTACGT"])
     assert r[0, 0] == n[0, 0]
+
+
+def test_pairhmm_batch_permutation_invariance(pairhmm_kat):
+    """Likelihoods must not depend on pair order or lane placement."""
+    cases = pairhmm_kat[:12]
+    reads = [kat_read(c) for c in cases]
+    haps = [as_u8(c["hap"]) for c in cases]
+    eng = PairHmmEngine()
+    base = eng.compute_likelihoods(reads, haps)
+    rng = np.random.default_rng(4)
+    pr = rng.permutation(len(reads))
+    ph = rng.permutation(len(haps))
+    shuf = eng.compute_likelihoods([reads[i] for i in pr],
+                                   [haps[j] for j in ph])
+    for a, i in enumerate(pr):
+        for b, j in enumerate(ph):
+            assert shuf[a, b] == base[i, j], (i, j)

@@ -74,3 +74,26 @@ def test_long_pair_vmem_fallback():
     segs = re.findall(r"(\d+)([MID])", r.cigar)
     assert sum(int(n) for n, s in segs if s == "M") == 7100
     assert [(int(n), s) for n, s in segs if s == "I"] == [(5, "I")]
+
+
+def test_batch_permutation_invariance():
+    """Per-pair results must not depend on lane placement or batch order
+    (catches cross-lane leaks in the kernels)."""
+    rng = np.random.default_rng(9)
+    alpha = np.frombuffer(b"ACGT", np.uint8)
+    refs, alts = [], []
+    for _ in range(37):
+        t = rng.choice(alpha, int(rng.integers(20, 150))).tobytes()
+        q = bytearray(t[: int(rng.integers(10, len(t)))])
+        for _ in range(int(rng.integers(0, 4))):
+            q[int(rng.integers(len(q)))] = int(rng.choice(alpha))
+        refs.append(t)
+        alts.append(bytes(q))
+    a = SmithWatermanAligner()
+    p = SWParameters(25, -50, 110, 6)
+    base = a.align_batch(refs, alts, p, OverhangStrategy.SOFTCLIP)
+    perm = rng.permutation(len(refs))
+    shuf = a.align_batch([refs[i] for i in perm], [alts[i] for i in perm],
+                         p, OverhangStrategy.SOFTCLIP)
+    for k, i in enumerate(perm):
+        assert shuf[k] == base[i], (k, i)
