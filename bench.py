@@ -46,8 +46,9 @@ def bench_sw(B=131072, T=150, Q=150, with_traceback=True, iters=6):
     run = lambda: sw_pallas_banded(*args, indel_init=False,
                                    with_traceback=with_traceback)[0]
     _sync(run())  # compile + warm
+    _sync(run())
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):       # best-of-5: the dev chip is a shared pool
         t0 = time.time()
         outs = [run() for _ in range(iters)]
         for o in outs:
@@ -79,8 +80,9 @@ def bench_pairhmm(B=32768, rdlen=150, haplen=400, iters=4):
 
     run = lambda: pairhmm_pallas_banded(*args)
     _sync(run())
+    _sync(run())
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):       # best-of-5: the dev chip is a shared pool
         t0 = time.time()
         outs = [run() for _ in range(iters)]
         for o in outs:
