@@ -89,10 +89,12 @@ def test_slow_shard_not_reaped_from_live_worker():
 
     def slow_work(p):
         calls.append(p)
-        time.sleep(0.5)            # >> ttls below
+        time.sleep(2.0)            # >> ttls below
         return p * 2
 
-    out = run_elastic(list(range(3)), slow_work, n_workers=2,
-                      lease_ttl=0.15, heartbeat_ttl=0.1)
-    assert out == {i: i * 2 for i in range(3)}
-    assert sorted(calls) == [0, 1, 2], f"shards re-executed: {sorted(calls)}"
+    # margins sized for a loaded 1-core CI host: the heartbeat thread
+    # beats every ttl/3 ~ 0.33s against a 1.0s expiry
+    out = run_elastic(list(range(2)), slow_work, n_workers=2,
+                      lease_ttl=1.5, heartbeat_ttl=1.0)
+    assert out == {i: i * 2 for i in range(2)}
+    assert sorted(calls) == [0, 1], f"shards re-executed: {sorted(calls)}"
