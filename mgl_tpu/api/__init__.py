@@ -48,19 +48,12 @@ def _as_u8(seq) -> np.ndarray:
     return a
 
 
-# base normalization for the PairHMM engine: uppercase ACGT, everything
-# else (IUPAC ambiguity codes, gaps, junk) -> N.  This pins one alphabet
-# across all kernel tiers (pallas one-hot, XLA spec, f64 rescue), which
-# would otherwise disagree on non-ACGTN bytes; the reference only ever
-# sees ACGTN from GATK.
-_BASE_NORM = np.full(256, ord("N"), np.uint8)
-for _c in b"ACGT":
-    _BASE_NORM[_c] = _c
-    _BASE_NORM[_c + 32] = _c
-
-
 def _norm_bases(a: np.ndarray) -> np.ndarray:
-    return _BASE_NORM[a]
+    # canonical alphabet lives with the engine (ops/pairhmm.BASE_NORM) so
+    # direct compute_likelihoods callers get the same normalization
+    from mgl_tpu.ops.pairhmm import BASE_NORM
+
+    return BASE_NORM[a]
 
 
 def _sw_fits_vmem(tlen: int, qlen: int, budget_mb: float = 12.0) -> bool:

@@ -50,10 +50,6 @@ def write_sam(path, index, reads: np.ndarray, result: dict,
     Returns the number of records written.
     """
     n = len(reads)
-    order = result.get("order")
-    if order is None:
-        order = np.argsort(np.where(result["pos"] >= 0, result["pos"],
-                                    np.iinfo(np.int64).max), kind="stable")
     cigars = result.get("cigar")
     offsets = result.get("offset")
     # effective alignment start = window start + in-window offset when the
@@ -69,6 +65,13 @@ def write_sam(path, index, reads: np.ndarray, result: dict,
     else:
         pinned = np.zeros(len(pos), bool)
         eff = np.where(pos >= 0, pos + pad, -1)
+    order = result.get("order")
+    if order is None:
+        # sort by the same effective position emitted as POS (offsets can
+        # reorder records within a window; sorting raw window starts would
+        # violate the SO:coordinate header)
+        order = np.argsort(np.where(eff >= 0, eff,
+                                    np.iinfo(np.int64).max), kind="stable")
     contig, local = index.locate(eff)
     if index.contig_names is not None:
         rnames = index.contig_names

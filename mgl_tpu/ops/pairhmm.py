@@ -18,9 +18,10 @@ Design:
 * **Transition/emission rows precomputed on host** (core/context.py) from
   the canonical bit-exact tables, so device work is pure FMA-shaped f32.
 * **Precision cascade**: f32 on device; pairs whose scaled score falls
-  below MIN_ACCEPTED (1e-28) are recomputed in float64 on host
-  (pairhmm_common.h:31 tiering) — the f64 tail is off the hot path exactly
-  as in the reference.
+  below MIN_ACCEPTED (1e-28) are recomputed on device in extended-range
+  double-float arithmetic (ops/xfloat.py — the TPU-native equivalent of
+  the reference's f64 rescue kernel, pairhmm_common.h:31 tiering); a host
+  C++ f64 kernel remains as an opt-in fallback (MGL_TPU_RESCUE=native).
 
 Scaling follows Context<float>: yInitial = 2^120 / haplen, final
 likelihood = log10(score) - log10(2^120).
@@ -42,6 +43,15 @@ from mgl_tpu.core.context import (
 )
 
 AMBIG = ord("N")
+
+# One alphabet for every kernel tier (pallas one-hot, XLA spec, rescue):
+# uppercase ACGT; IUPAC codes / lowercase / junk -> N.  Applied at
+# compute_likelihoods so direct callers and the api layer see identical
+# scores (the reference only ever receives ACGTN from GATK).
+BASE_NORM = np.full(256, AMBIG, np.uint8)
+for _c in b"ACGT":
+    BASE_NORM[_c] = _c
+    BASE_NORM[_c + 32] = _c
 
 
 class PairHMMBatch(NamedTuple):
@@ -293,6 +303,48 @@ def forward_scores_xla(batch: PairHMMBatch) -> np.ndarray:
     )
 
 
+def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
+                       pairs: list[tuple[int, int]]) -> np.ndarray:
+    """Extended-range (f64-class) scores for the rescue tail.
+
+    Default: the on-device xfloat kernel (ops/xfloat.py) — the TPU-native
+    equivalent of the reference's compute_prob_avxd.cc rescue tier.
+    MGL_TPU_RESCUE selects a fallback: 'native' = host C++ threaded f64
+    kernel, 'scalar' = NumPy oracle.  Returns (B,) float64 scaled scores.
+    """
+    import os
+
+    from mgl_tpu.ref_impl.pairhmm_scalar import compute_score
+
+    mode = os.environ.get("MGL_TPU_RESCUE", "xf")
+    if mode == "native":
+        from mgl_tpu.native import pairhmm_f64_rescue
+
+        native = pairhmm_f64_rescue(reads, haps, pairs)
+        if native is not None:
+            return np.asarray(native, np.float64)
+        mode = "scalar"  # pragma: no cover - lib unavailable
+    if mode == "scalar":
+        out = np.zeros(len(pairs), np.float64)
+        for k, (ri, hi) in enumerate(pairs):
+            rd = reads[ri]
+            out[k] = compute_score(haps[hi], rd["bases"], rd["q"], rd["i"],
+                                   rd["d"], rd["c"], ctx=CTX_F64)
+        return out
+
+    from mgl_tpu.batch.bucketing import bucket_pairs
+    from mgl_tpu.ops.xfloat import rescue_scores_xf
+
+    out = np.zeros(len(pairs), np.float64)
+    la = [len(reads[ri]["bases"]) for ri, _ in pairs]
+    lb = [len(haps[hi]) for _, hi in pairs]
+    for (pa, pb), idxs in bucket_pairs(la, lb):
+        sub = rescue_scores_xf(reads, haps, [pairs[k] for k in idxs],
+                               pad_to=(pa, pb))
+        out[np.asarray(idxs)] = sub
+    return out
+
+
 def compute_likelihoods(
     reads: list[dict],
     haps: list[np.ndarray],
@@ -309,8 +361,9 @@ def compute_likelihoods(
     (com_microsoft_mgl_pairhmm_MicrosoftPairHmm.cc:140-143): well-matching
     pairs take the fast estimator's score and skip the DP.
     """
-    from mgl_tpu.ref_impl.pairhmm_scalar import compute_score
-
+    reads = [{**rd, "bases": BASE_NORM[np.asarray(rd["bases"], np.uint8)]}
+             for rd in reads]
+    haps = [BASE_NORM[np.asarray(h, np.uint8)] for h in haps]
     n_r, n_h = len(reads), len(haps)
     out = np.zeros((n_r, n_h), dtype=np.float64)
 
@@ -388,20 +441,9 @@ def compute_likelihoods(
               if float(scores[b]) < float(MIN_ACCEPTED)]
     rescue_scores: dict[int, float] = {}
     if rescue:
-        # double tier: native threaded kernel when available, NumPy otherwise
-        from mgl_tpu.native import pairhmm_f64_rescue
-
-        native = pairhmm_f64_rescue(reads, haps,
-                                    [pair_index[b] for b in rescue])
-        if native is not None:
-            rescue_scores = dict(zip(rescue, native))
-        else:  # pragma: no cover - fallback path
-            for b in rescue:
-                ri, hi = pair_index[b]
-                rd = reads[ri]
-                rescue_scores[b] = compute_score(
-                    haps[hi], rd["bases"], rd["q"], rd["i"], rd["d"],
-                    rd["c"], ctx=CTX_F64)
+        vals = rescue_tier_scores(reads, haps,
+                                  [pair_index[b] for b in rescue])
+        rescue_scores = dict(zip(rescue, vals))
 
     with np.errstate(divide="ignore"):
         for b, (ri, hi) in enumerate(pair_index):

@@ -77,9 +77,11 @@ class ReferenceIndex:
     def build_multi(contigs: list[tuple[str, np.ndarray]], k: int = 16,
                     max_hits: int = 64) -> "ReferenceIndex":
         """Index several contigs as one coordinate space.  Contigs are
-        joined with k ambiguous bases so no k-mer spans a boundary (the
-        N-validity mask in _kmers drops them)."""
-        sep = np.full(k, ord("N"), np.uint8)
+        joined with max(k, 48) ambiguous bases: k so no k-mer spans a
+        boundary (the N-validity mask in _kmers drops them), 48 = 2x the
+        default window_pad so an SW verify window at a contig end never
+        reaches real bases of the next contig."""
+        sep = np.full(max(k, 48), ord("N"), np.uint8)
         parts, names, offs, lens = [], [], [], []
         at = 0
         for name, seq in contigs:
@@ -90,7 +92,7 @@ class ReferenceIndex:
             lens.append(len(s))
             parts.append(s)
             parts.append(sep)
-            at += len(s) + k
+            at += len(s) + len(sep)
         idx = ReferenceIndex.build(np.concatenate(parts), k=k,
                                    max_hits=max_hits)
         idx.contig_names = names
@@ -121,7 +123,9 @@ class ReferenceIndex:
         order = np.argsort(vals, kind="stable")
         vals = vals[order]
         ptable = None
-        if k >= _PREFIX_BASES:
+        # the 4^13-entry jump table costs ~537 MB; only worth it once the
+        # k-mer set is big enough that binary search is the bottleneck
+        if k >= _PREFIX_BASES and len(vals) >= 1_000_000:
             shift = np.uint64(2 * (k - _PREFIX_BASES))
             counts = np.bincount((vals >> shift).astype(np.int64),
                                  minlength=4 ** _PREFIX_BASES)
