@@ -47,6 +47,18 @@ for _ch, _v in ((b"Aa", 1), (b"Cc", 2), (b"Gg", 4), (b"Tt", 8), (b"Nn", 15)):
 from mgl_tpu.utils import round_up as _round_up  # shared helper
 
 
+def env_interpret() -> bool:
+    """Whether to run Pallas kernels under the TPU interpreter (CPU tests /
+    multi-chip dry-runs; MGL_TPU_PALLAS_INTERPRET=1)."""
+    import os
+
+    return os.environ.get("MGL_TPU_PALLAS_INTERPRET") == "1"
+
+
+def _imode(interpret: bool):
+    return pltpu.InterpretParams() if interpret else False
+
+
 def _pairhmm_kernel(
     hpad_ref, rchar_ref, rslen_ref, haplen_ref,
     p_mm_ref, p_gapm_ref, p_mx_ref, p_my_ref, p_zz_ref,
@@ -119,7 +131,7 @@ def _pairhmm_kernel(
     score_ref[:] = final[-1]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def pairhmm_pallas_forward(
     hpad,      # (HP, Bp) int32 one-hot hap chars, HP >= R1p + H
     rchar,     # (R1p, Bp) int32 one-hot read chars per row (row 0 unused)
@@ -128,6 +140,8 @@ def pairhmm_pallas_forward(
     p_mm, p_gapm, p_mx, p_my, p_zz,   # (R1p, Bp) f32; row 0 = (0,0,0,0,1)
     dm, dmm,   # (R1p, Bp) f32 emission rows, row 0 = 0
     y_init,    # (1, Bp) f32
+    *,
+    interpret: bool = False,
 ):
     """Returns (1, Bp) f32 INITIAL_CONSTANT-scaled scores."""
     R1p, Bp = rchar.shape
@@ -153,6 +167,7 @@ def pairhmm_pallas_forward(
         ],
         out_specs=pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        interpret=_imode(interpret),
     )(hpad, rchar, rslen, haplen, p_mm, p_gapm, p_mx, p_my, p_zz, dm, dmm, y_init)
     return score
 
@@ -280,7 +295,7 @@ def _pairhmm_banded_kernel(
     score_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("band",))
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
 def pairhmm_pallas_banded(
     hap,       # (HR, Bp) int32 one-hot hap chars (row t = hap base t)
     rchar,     # (Rb, Bp) int32 one-hot read chars (row k = read base k+1)
@@ -292,6 +307,7 @@ def pairhmm_pallas_banded(
     u0,        # (1, Bp) f32: yInit * pGapM[1]
     *,
     band: int = 32,
+    interpret: bool = False,
 ):
     """Banded-wavefront forward.  Returns (1, Bp) f32 scaled scores."""
     Rb, Bp = rchar.shape
@@ -342,10 +358,314 @@ def pairhmm_pallas_banded(
         scratch_shapes=[
             pltpu.VMEM((2, 2, Hcp, LANES), jnp.float32),
         ],
+        interpret=_imode(interpret),
     )(hap, rchar, rslen, haplen, tlo.astype(jnp.int32), thi.astype(jnp.int32),
       pmm_u, pgapm_u, pmx_u, pzz_u,
       p_my, p_zz, dm, dmm, u0)
     return score
+
+
+def _pairhmm_shared_kernel(
+    hstream_ref, rchar_ref, rslen_ref, segtab_ref,
+    pmm_u_ref, pgapm_u_ref, pmx_u_ref, pzz_u_ref,
+    p_my_ref, p_zz_ref, dm_ref, dmm_ref, u0_ref,
+    score_ref,
+    carry_ref,                 # scratch (2, 2, Scp, LANES) f32: U / W
+    chkf_ref,                  # scratch (5, BH, LANES) f32 checkpoint
+    chki_ref,                  # scratch (1, BH, LANES) i32 checkpoint (hd)
+    chka_ref,                  # scratch (1, LANES) f32 checkpoint (acc)
+    *,
+    BH: int, NB: int, NS: int, Scp: int, SR: int,
+):
+    """Banded wavefront over a SHARED haplotype set with prefix sharing.
+
+    TPU re-derivation of the reference's haplotype column cache
+    (compute_prob_avxf.cc:943-967 save / 1068-1071 partial-sum seed):
+    lanes hold 128 *reads* against one hap set; the kernel sweeps the
+    concatenation of each haplotype's distinct-suffix columns (segment j =
+    columns pos_j+1..len_j).  Because columns <= pos_j are bit-identical
+    between consecutive haplotypes (same shared yInitial = IC/COLS_MAX,
+    same chars), the staggered register wavefront at the step where
+    sublane 0 sits on column pos_{j+1} is exactly the state a from-scratch
+    sweep of hap j+1 would reach — so it is snapshotted into VMEM
+    (chk refs) and restored at segment j+1's start.  Only three row-0
+    entries look *ahead* of the boundary (the carry-in pipeline u_p/w_p
+    and the hap-char head hd), and those are re-spliced from segment
+    j+1's own stream slots on restore.  The running last-row sum rides
+    the checkpoint, seeding each hap's partial result.
+
+    Inter-band (U, W) carries are indexed by *stream* position: slot
+    base_j + o holds column pos_j+1+o of segment j, so consecutive bands'
+    reads and writes line up without rewinds.  segtab rows (SMEM i32):
+    0 = stream base, 1 = pos, 2 = haplen, 3 = sweep steps T
+    (= seg_len + BH - 1), 4 = checkpoint step (pos_{j+1} - pos_j, or -1).
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (BH, LANES), 0)
+    row0 = row == 0
+    rsl_row = rslen_ref[0:1, :]
+    u0 = u0_ref[0:1, :]
+    TRASH = Scp - 1
+
+    # band-0 read buffer: U = u0 at every column (row-0 boundary), W = 0;
+    # write buffer zeros (column boundary for fresh segments)
+    carry_ref[0:1, 0:1] = jnp.broadcast_to(u0, (Scp, LANES))[None, None]
+    carry_ref[0:1, 1:2] = jnp.zeros((1, 1, Scp, LANES), jnp.float32)
+    carry_ref[1:2] = jnp.zeros((1, 2, Scp, LANES), jnp.float32)
+
+    def band(b, _):
+        r = pl.ds(b * BH, BH)
+        rch = rchar_ref[r]
+        pmm_u, pgapm_u = pmm_u_ref[r], pgapm_u_ref[r]
+        pmx_u, pzz_u = pmx_u_ref[r], pzz_u_ref[r]
+        pmy, pzz = p_my_ref[r], p_zz_ref[r]
+        dmb, dmmb = dm_ref[r], dmm_ref[r]
+        mask_last = (row + b * BH + 1) == rsl_row
+        rd = b % 2
+        wr = (b + 1) % 2
+
+        def cread(plane, idx):
+            return carry_ref[pl.ds(rd, 1), pl.ds(plane, 1),
+                             pl.ds(idx, 1)][0, 0]
+
+        zero = dmb * 0.0                 # non-replicated zero plane
+
+        def seg(j, _):
+            base = segtab_ref[0, j]
+            pos = segtab_ref[1, j]
+            lenj = segtab_ref[2, j]
+            T = segtab_ref[3, j]
+            tsv = segtab_ref[4, j]
+            fresh = pos == 0
+            base_c = jnp.minimum(base, Scp - 1)
+
+            # entry wavefront: fresh boundary state or restored checkpoint;
+            # row-0 look-ahead (u_p, w_p, hd head) always re-spliced from
+            # this segment's own stream
+            m_un = jnp.where(fresh, zero, chkf_ref[0:1][0])
+            y_un = jnp.where(fresh, zero, chkf_ref[1:2][0])
+            w_p = jnp.where(row0, cread(1, base_c),
+                            jnp.where(fresh, zero, chkf_ref[2:3][0]))
+            u_p = jnp.where(row0, cread(0, base_c),
+                            jnp.where(fresh, zero, chkf_ref[3:4][0]))
+            u_pp = jnp.where(fresh,
+                             jnp.where(row0 & (b == 0), u0, zero),
+                             chkf_ref[4:5][0])
+            hrow0 = hstream_ref[pl.ds(jnp.minimum(base, SR - 1), 1), :]
+            hd = jnp.where(row0, hrow0,
+                           jnp.where(fresh, 0, chki_ref[0:1][0]))
+            acc = jnp.where(fresh, u0 * 0.0, chka_ref[0:1, :])
+
+            def step(t, carry):
+                m_un, y_un, w_p, u_p, u_pp, hd, acc = carry
+
+                distm = jnp.where((rch & hd) != 0, dmb, dmmb)
+                m_cur = distm * u_pp
+                x_cur = w_p
+                y_cur = m_un * pmy + y_un * pzz
+
+                contrib = jnp.sum(jnp.where(mask_last, m_cur + x_cur, 0.0),
+                                  axis=0, keepdims=True)
+                c = pos + t + b * BH + 2 - rsl_row
+                valid = (c >= 1) & (c <= lenj)
+                acc2 = acc + jnp.where(valid, contrib, 0.0)
+
+                u = m_cur * pmm_u + (x_cur + y_cur) * pgapm_u
+                w = m_cur * pmx_u + x_cur * pzz_u
+                u_sh = pltpu.roll(u, 1, 0)
+                w_sh = pltpu.roll(w, 1, 0)
+
+                # bottom-row carry out, in stream coordinates; ramp-in and
+                # ramp-out junk (outside this segment's columns) -> TRASH
+                cw = pos + t + 2 - BH
+                st = base + t + 1 - BH
+                st = jnp.where((t >= BH - 1) & (cw <= lenj), st, TRASH)
+                carry_ref[pl.ds(wr, 1), 0:1, pl.ds(st, 1)] = \
+                    u_sh[0:1][None, None]
+                carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = \
+                    w_sh[0:1][None, None]
+
+                ld = jnp.minimum(base + t + 1, Scp - 1)
+                u_sh = jnp.where(row0, cread(0, ld), u_sh)
+                w_sh = jnp.where(row0, cread(1, ld), w_sh)
+
+                hrow = hstream_ref[pl.ds(jnp.minimum(base + t + 1, SR - 1),
+                                         1), :]
+                hd = jnp.where(row0, hrow, pltpu.roll(hd, 1, 0))
+
+                return (m_cur, y_cur, w_sh, u_sh, u_p, hd, acc2)
+
+            carry = (m_un, y_un, w_p, u_p, u_pp, hd, acc)
+            ts = jnp.clip(jnp.where(tsv < 0, T, tsv), 0, T)
+            carry = jax.lax.fori_loop(0, ts, step, carry)
+            # snapshot the wavefront at the next hap's prefix boundary
+            chkf_ref[0:1] = carry[0][None]
+            chkf_ref[1:2] = carry[1][None]
+            chkf_ref[2:3] = carry[2][None]
+            chkf_ref[3:4] = carry[3][None]
+            chkf_ref[4:5] = carry[4][None]
+            chki_ref[0:1] = carry[5][None]
+            chka_ref[0:1, :] = carry[6]
+            carry = jax.lax.fori_loop(ts, T, step, carry)
+
+            prev = score_ref[pl.ds(j, 1), :]
+            score_ref[pl.ds(j, 1), :] = jnp.where(
+                b == 0, carry[6], prev + carry[6])
+            return 0
+
+        jax.lax.fori_loop(0, NS, seg, 0)
+        return 0
+
+    jax.lax.fori_loop(0, NB, band, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("scp", "band", "interpret"))
+def pairhmm_pallas_shared(
+    hstream,   # (SR, LANES) int32 one-hot distinct-suffix char stream
+    rchar,     # (Rb, Bp) int32 one-hot read chars (row k = read base k+1)
+    rslen,     # (1, Bp) int32
+    segtab,    # (5, NSp) int32 segment table (see kernel docstring)
+    pmm_u, pgapm_u, pmx_u, pzz_u,   # (Rb, Bp) f32 (row k = matrix row k+2)
+    p_my, p_zz,                      # (Rb, Bp) f32 (row k = matrix row k+1)
+    dm, dmm,   # (Rb, Bp) f32 emissions (row k = matrix row k+1)
+    u0,        # (1, Bp) f32: yInit_shared * pGapM[1]
+    *,
+    scp: int,
+    band: int = 32,
+    interpret: bool = False,
+):
+    """Prefix-sharing forward over one hap set.  Returns (NSp, Bp) f32
+    scores scaled by yInit_shared = IC/COLS_MAX (host rescales by
+    COLS_MAX/haplen, compute_prob_avxf.cc:1086)."""
+    Rb, Bp = rchar.shape
+    SR = hstream.shape[0]
+    NSp = segtab.shape[1]
+    BH = band
+    NB = Rb // BH
+
+    n_tiles = Bp // LANES
+    kernel = functools.partial(_pairhmm_shared_kernel, BH=BH, NB=NB,
+                               NS=NSp, Scp=scp, SR=SR)
+
+    def col(i):
+        return (0, i)
+
+    vm = lambda shape: pl.BlockSpec(shape, col, memory_space=pltpu.VMEM)
+    bc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec((5, NSp), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    score = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            bc((SR, LANES)), vm((Rb, LANES)), vm((1, LANES)), sm,
+            vm((Rb, LANES)), vm((Rb, LANES)), vm((Rb, LANES)),
+            vm((Rb, LANES)),
+            vm((Rb, LANES)), vm((Rb, LANES)),
+            vm((Rb, LANES)), vm((Rb, LANES)), vm((1, LANES)),
+        ],
+        out_specs=pl.BlockSpec((NSp, LANES), col, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NSp, Bp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, scp, LANES), jnp.float32),
+            pltpu.VMEM((5, BH, LANES), jnp.float32),
+            pltpu.VMEM((1, BH, LANES), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.float32),
+        ],
+        interpret=_imode(interpret),
+    )(hstream, rchar, rslen, segtab,
+      pmm_u, pgapm_u, pmx_u, pzz_u, p_my, p_zz, dm, dmm, u0)
+    return score
+
+
+def shared_vmem_bytes(rdlen: int, stream: int, n_segs: int,
+                      band: int = 32) -> int:
+    """Estimated per-tile VMEM working set of the shared kernel."""
+    Rb = _round_up(max(rdlen, 1), band)
+    scp = _round_up(stream + band + 2, 8)
+    sr = _round_up(stream + band + 1, 8)
+    nsp = _round_up(max(n_segs, 1), 8)
+    return 4 * (9 * Rb * LANES + sr * LANES + 4 * scp * LANES
+                + 6 * band * LANES + nsp * LANES + 8 * LANES)
+
+
+def forward_scores_shared(reads: list[dict], haps: list[np.ndarray],
+                          band: int = 32, share: bool = True,
+                          pad_rdlen: int = 0,
+                          cols_max: int | None = None) -> np.ndarray:
+    """(n_reads, n_haps) f32 scores via the prefix-sharing shared-hap-set
+    kernel.  Scores follow the reference avxf variant: shared
+    yInitial = IC/COLS_MAX with a final * COLS_MAX/haplen rescale
+    (compute_prob_avxf.cc:661,1086) — within the 1e-5 log10 contract of
+    the scalar spec, not bit-identical to it (the reference's own float
+    kernels differ the same way)."""
+    from mgl_tpu.core.context import CTX_F32
+    from mgl_tpu.ops.pairhmm import compute_haplotype_similarities
+
+    n_reads, n_haps = len(reads), len(haps)
+    positions, _, cmax = compute_haplotype_similarities(haps)
+    # callers chunking one hap set pass the whole set's COLS_MAX so the
+    # shared yInitial (and therefore every score bit) is chunk-invariant
+    cols_max = cmax if cols_max is None else cols_max
+    if not share:        # test hook: full sweeps, must be bit-identical
+        positions = np.zeros_like(positions)
+
+    planes, rchar, rslen, pgapm1 = pack_reads_for_product(
+        reads, band, pad_rdlen=pad_rdlen)
+    Bp = _round_up(max(n_reads, 1), LANES)
+
+    def pad_lanes(a, dtype):
+        out = np.zeros((a.shape[0], Bp), dtype)
+        out[:, : a.shape[1]] = a
+        return out
+
+    rchar = pad_lanes(rchar, np.int32)
+    rslen = pad_lanes(rslen, np.int32)
+    planes = tuple(pad_lanes(p, np.float32) for p in planes)
+
+    # segment table + distinct-suffix char stream (bucketed shapes)
+    seg_len = [len(h) - int(positions[j]) for j, h in enumerate(haps)]
+    bases = np.concatenate([[0], np.cumsum(seg_len)]).astype(np.int64)
+    S = int(bases[-1])
+    from mgl_tpu.batch.bucketing import bucket_dims
+
+    scp = _round_up(bucket_dims(S + band + 2,
+                                (256, 512, 1024, 2048, 4096, 8192)), 8)
+    SR = scp
+    NSp = _round_up(bucket_dims(max(n_haps, 1), (8, 16, 32, 64, 128)), 8)
+
+    hstream = np.zeros((SR, LANES), np.int32)
+    segtab = np.zeros((5, NSp), np.int32)
+    segtab[3, n_haps:] = 0                    # pad segments: no steps
+    segtab[4, :] = -1
+    for j, h in enumerate(haps):
+        p = int(positions[j])
+        hstream[bases[j]: bases[j + 1], :] = BASE_ENC[
+            np.asarray(h)[p:, None]]
+        segtab[0, j] = bases[j]
+        segtab[1, j] = p
+        segtab[2, j] = len(h)
+        segtab[3, j] = seg_len[j] + band - 1
+        if j + 1 < n_haps and positions[j + 1] > 0:
+            segtab[4, j] = int(positions[j + 1]) - p
+    segtab[0, n_haps:] = S
+
+    y_shared = np.float32(CTX_F32.initial_constant) / np.float32(cols_max)
+    u0 = (y_shared * pgapm1).astype(np.float32)
+    u0 = pad_lanes(u0, np.float32)
+
+    import jax.numpy as jnp
+
+    score = pairhmm_pallas_shared(
+        jnp.asarray(hstream), jnp.asarray(rchar), jnp.asarray(rslen),
+        jnp.asarray(segtab),
+        *(jnp.asarray(p) for p in planes), jnp.asarray(u0),
+        scp=scp, band=band, interpret=env_interpret())
+    raw = np.asarray(score)[:n_haps, :n_reads].astype(np.float64)
+    # final rescale, float factors as in the reference (avxf.cc:1086)
+    lens = np.array([np.float32(len(h)) for h in haps], np.float64)
+    out = raw * float(np.float32(cols_max)) / lens[:, None]
+    return out.T.copy()                      # (n_reads, n_haps)
 
 
 def prepare_inputs_banded(batch, band: int = 32):
@@ -388,10 +708,10 @@ def prepare_inputs_banded(batch, band: int = 32):
     return args
 
 
-@functools.partial(jax.jit, static_argnames=("band",))
+@functools.partial(jax.jit, static_argnames=("band", "interpret"))
 def _product_forward(read_planes, rchar, rslen, pgapm1,
                      hap_planes, haplen, y_init,
-                     ridx, hidx, *, band: int):
+                     ridx, hidx, *, band: int, interpret: bool = False):
     """Device-side product expansion + banded forward.
 
     Per-read transition/emission planes ((Rb, n_reads) f32/int32) and
@@ -409,10 +729,11 @@ def _product_forward(read_planes, rchar, rslen, pgapm1,
     u0 = yi * pgapm1[:, ridx]
     return pairhmm_pallas_banded(
         hp, rc, rl, hl, rp[0], rp[1], rp[2], rp[3], rp[4], rp[5],
-        rp[6], rp[7], u0, band=band)
+        rp[6], rp[7], u0, band=band, interpret=interpret)
 
 
-def pack_reads_for_product(reads: list[dict], band: int = 32):
+def pack_reads_for_product(reads: list[dict], band: int = 32,
+                           pad_rdlen: int = 0):
     """Per-read banded planes (vectorized; reads padded to the batch max).
 
     Returns (read_planes tuple of 8 (Rb, n) f32 in kernel order
@@ -422,7 +743,7 @@ def pack_reads_for_product(reads: list[dict], band: int = 32):
 
     n = len(reads)
     rmax = max(len(r["bases"]) for r in reads)
-    Rb = _round_up(rmax, band)
+    Rb = _round_up(max(rmax, pad_rdlen), band)
 
     def tracks(key):
         out = np.zeros((n, rmax), np.uint8)
@@ -501,7 +822,8 @@ def forward_scores_product(reads: list[dict], haps: list[np.ndarray],
         jnp.asarray(rslen), jnp.asarray(pgapm1),
         jnp.asarray(hp), jnp.asarray(np.maximum(haplen, 1)),
         jnp.asarray(y_init),
-        jnp.asarray(ridx), jnp.asarray(hidx), band=band)
+        jnp.asarray(ridx), jnp.asarray(hidx), band=band,
+        interpret=env_interpret())
     return np.asarray(score)[0, :B]
 
 
@@ -514,7 +836,8 @@ def forward_scores_banded(batch, band: int = 32) -> np.ndarray:
     keys = ("hap", "rchar", "rslen", "haplen", "pmm_u", "pgapm_u", "pmx_u",
             "pzz_u", "p_my", "p_zz", "dm", "dmm", "u0")
     score = pairhmm_pallas_banded(
-        *(jnp.asarray(a[k]) for k in keys), band=band)
+        *(jnp.asarray(a[k]) for k in keys), band=band,
+        interpret=env_interpret())
     return np.asarray(score)[0, :B]
 
 
@@ -587,5 +910,6 @@ def forward_scores_plane(batch) -> np.ndarray:
         jnp.asarray(args["p_mx"]), jnp.asarray(args["p_my"]),
         jnp.asarray(args["p_zz"]), jnp.asarray(args["dm"]),
         jnp.asarray(args["dmm"]), jnp.asarray(args["y_init"]),
+        interpret=env_interpret(),
     )
     return np.asarray(score)[0, :B]

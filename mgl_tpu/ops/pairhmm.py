@@ -303,6 +303,77 @@ def forward_scores_xla(batch: PairHMMBatch) -> np.ndarray:
     )
 
 
+def _shared_hap_chunks(haps: list[np.ndarray], rdlen: int,
+                       band: int = 32,
+                       budget: float = 13e6) -> list[tuple[int, int]]:
+    """Split the hap list into contiguous chunks whose shared-kernel
+    working set (dominated by the stream-indexed carry array) fits VMEM.
+    Chunk starts reset the prefix-share position to 0."""
+    from mgl_tpu.kernels.pairhmm_pallas import shared_vmem_bytes
+
+    positions, _, _ = compute_haplotype_similarities(haps)
+    chunks: list[tuple[int, int]] = []
+    lo, stream = 0, 0
+    for j, h in enumerate(haps):
+        seg = len(h) - (int(positions[j]) if j > lo else 0)
+        if (j > lo and shared_vmem_bytes(rdlen, stream + seg, j - lo + 1,
+                                         band) > budget):
+            chunks.append((lo, j))
+            lo, stream = j, len(h)
+        else:
+            stream += seg
+    chunks.append((lo, len(haps)))
+    return chunks
+
+
+def _shared_product_scores(reads: list[dict], haps: list[np.ndarray],
+                           band: int = 32) -> np.ndarray | None:
+    """(n_r, n_h) scores via the prefix-sharing shared-hap-set kernel, or
+    None when the plain per-pair product layout is estimated cheaper
+    (small read sets leave VPU lanes idle in shared mode).
+
+    This is the TPU realization of the reference's haplotype column cache
+    (compute_prob_avxf.cc:943-967): scores are the avxf variant (shared
+    yInitial + final rescale), within the 1e-5 log10 contract of the
+    scalar spec.
+    """
+    import math
+    import os
+
+    from mgl_tpu.batch.bucketing import bucket_dims
+    from mgl_tpu.kernels.pairhmm_pallas import (LANES,
+                                                forward_scores_shared)
+
+    if os.environ.get("MGL_TPU_SHARED", "1") == "0":
+        return None
+    n_r, n_h = len(reads), len(haps)
+    positions, _, _ = compute_haplotype_similarities(haps)
+    stream = sum(len(h) - int(p) for h, p in zip(haps, positions))
+    total = sum(len(h) for h in haps)
+
+    buckets: dict[int, list[int]] = {}
+    for i, rd in enumerate(reads):
+        buckets.setdefault(bucket_dims(len(rd["bases"])), []).append(i)
+    hap_cols = total / n_h + band
+    work_shared = sum(math.ceil(len(g) / LANES)
+                      * (stream + n_h * (band - 1))
+                      for g in buckets.values())
+    work_product = sum(math.ceil(len(g) * n_h / LANES) * hap_cols
+                       for g in buckets.values())
+    if work_shared > 0.9 * work_product:
+        return None
+
+    cols_max = max(len(h) for h in haps)
+    out = np.zeros((n_r, n_h), np.float64)
+    for pa, ridx in sorted(buckets.items()):
+        sub_reads = [reads[i] for i in ridx]
+        for lo, hi in _shared_hap_chunks(haps, pa, band):
+            sub = forward_scores_shared(sub_reads, haps[lo:hi], band=band,
+                                        pad_rdlen=pa, cols_max=cols_max)
+            out[np.asarray(ridx)[:, None], np.arange(lo, hi)[None, :]] = sub
+    return out
+
+
 def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
                        pairs: list[tuple[int, int]]) -> np.ndarray:
     """Extended-range (f64-class) scores for the rescue tail.
@@ -408,6 +479,17 @@ def compute_likelihoods(
         from mgl_tpu.batch.bucketing import bucket_pairs
 
         use_pallas = _use_pallas(impl)
+        # full-product batches ride the prefix-sharing shared-hap-set
+        # kernel when the work estimate favors it (GATK's call shape)
+        shared = None
+        if (use_pallas and not fast_hit and n_h >= 2
+                and len(dp_pairs) == n_r * n_h):
+            shared = _shared_product_scores(reads, haps)
+        if shared is not None:
+            for b in dp_pairs:
+                ri, hi = pair_index[b]
+                scores[b] = shared[ri, hi]
+            dp_pairs = []
         # length-bucket by (read, hap) pad shape so mixed-length products
         # don't all pay the global maxima (and compiled shapes get reused)
         la = [len(reads[pair_index[b][0]]["bases"]) for b in dp_pairs]

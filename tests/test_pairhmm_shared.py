@@ -1,0 +1,112 @@
+"""Prefix-sharing shared-hap-set PairHMM kernel (TPU interpreter on CPU).
+
+The reference optimization being reproduced: compute_prob_avxf.cc:943-967
+(column cache at each hap's shared-prefix boundary) + 1068-1071 (partial
+sum seeding), with yInitial = IC/COLS_MAX and the final COLS_MAX/haplen
+rescale (avxf.cc:661,1086).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("MGL_TPU_PALLAS_INTERPRET", "1")
+
+
+def _gatk_shaped(rng, n_reads=11, n_haps=6, hap_len=160, read_hi=120,
+                 read_lo=20, snp_lo=None):
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(ACGT, hap_len)
+    haps = [base.copy()]
+    for k in range(n_haps - 1):
+        h = base.copy()
+        p = int(rng.integers(snp_lo or hap_len // 4, hap_len - 10))
+        h[p] = ACGT[(int(np.searchsorted(ACGT, h[p])) + 1) % 4]
+        if k % 2:
+            h = np.concatenate([h[:p], ACGT[rng.integers(0, 4, 3)], h[p:]])
+        haps.append(h)
+    reads = []
+    for _ in range(n_reads - 1):
+        n = int(rng.integers(read_lo, read_hi))
+        q = rng.integers(10, 50, n).astype(np.uint8)
+        reads.append(dict(bases=rng.choice(ACGT, n), q=q, i=q, d=q,
+                          c=np.full(n, 10, np.uint8)))
+    n = min(100, hap_len - 40)
+    reads.append(dict(bases=base[30: 30 + n], q=np.full(n, 40, np.uint8),
+                      i=np.full(n, 40, np.uint8), d=np.full(n, 40, np.uint8),
+                      c=np.full(n, 10, np.uint8)))
+    return reads, haps
+
+
+def test_shared_bitexact_vs_full_sweeps():
+    """Sharing on == sharing off, bit for bit: the checkpointed wavefront
+    restore reproduces the skipped shared-prefix columns exactly."""
+    from mgl_tpu.kernels.pairhmm_pallas import forward_scores_shared
+
+    rng = np.random.default_rng(7)
+    reads, haps = _gatk_shaped(rng)
+    noshare = forward_scores_shared(reads, haps, share=False)
+    shared = forward_scores_shared(reads, haps, share=True)
+    assert np.array_equal(shared, noshare)
+
+
+def test_shared_matches_spec_within_contract():
+    """avxf-variant scores within the 1e-5 log10 contract of the scalar
+    spec (forward_scores_xla), including hap sets with duplicates and
+    position resets."""
+    from mgl_tpu.kernels.pairhmm_pallas import forward_scores_shared
+    from mgl_tpu.ops.pairhmm import forward_scores_xla, pack_pairs
+
+    rng = np.random.default_rng(11)
+    reads, haps = _gatk_shaped(rng, n_reads=9, n_haps=5, hap_len=120)
+    haps.append(haps[1].copy())          # exact duplicate -> 0-length segment
+    shared = forward_scores_shared(reads, haps)
+    batch = pack_pairs(reads, haps,
+                       [(r, h) for r in range(len(reads))
+                        for h in range(len(haps))])
+    spec = forward_scores_xla(batch).reshape(len(reads), len(haps))
+    nz = spec > 0
+    dl = np.abs(np.log10(shared[nz]) - np.log10(spec.astype(np.float64)[nz]))
+    assert dl.max() < 1e-5
+    # duplicate hap column must equal its twin bit-for-bit
+    assert np.array_equal(shared[:, -1], shared[:, 1])
+
+
+def test_shared_hap_chunking_matches_unchunked():
+    """VMEM-driven hap chunking (chunk starts reset sharing) returns the
+    same scores as one unchunked call."""
+    from mgl_tpu.kernels.pairhmm_pallas import forward_scores_shared
+    from mgl_tpu.ops.pairhmm import _shared_hap_chunks
+
+    rng = np.random.default_rng(13)
+    reads, haps = _gatk_shaped(rng, n_reads=6, n_haps=8, hap_len=100,
+                               read_hi=60)
+    chunks = _shared_hap_chunks(haps, 64, budget=0.35e6)
+    assert len(chunks) > 1
+    cmax = max(len(h) for h in haps)
+    whole = forward_scores_shared(reads, haps)
+    parts = [forward_scores_shared(reads, haps[lo:hi], cols_max=cmax)
+             for lo, hi in chunks]
+    # chunk boundaries recompute (not resume) their first hap; with the
+    # whole set's COLS_MAX pinned, every score bit is chunk-invariant
+    got = np.concatenate(parts, axis=1)
+    assert np.array_equal(got, whole)
+
+
+def test_engine_uses_shared_kernel_consistently():
+    """compute_likelihoods with the pallas impl (interpret) on a
+    full-lane product: cascade output within contract of the xla impl."""
+    from mgl_tpu.ops.pairhmm import _shared_product_scores, compute_likelihoods
+
+    rng = np.random.default_rng(17)
+    # GATK-realistic shape: uniform-length reads filling the VPU lanes,
+    # haps diverging late (high prefix sharing)
+    reads, haps = _gatk_shaped(rng, n_reads=256, n_haps=6, hap_len=300,
+                               read_lo=90, read_hi=100, snp_lo=180)
+    # the work heuristic must pick shared mode for this shape
+    assert _shared_product_scores(reads, haps) is not None
+    got = compute_likelihoods(reads, haps, impl="pallas")
+    want = compute_likelihoods(reads, haps, impl="xla")
+    assert got.shape == want.shape
+    assert np.max(np.abs(got - want)) < 1e-5
