@@ -366,7 +366,7 @@ def pairhmm_pallas_banded(
 
 
 def _pairhmm_shared_kernel(
-    hstream_ref, rchar_ref, rslen_ref, segtab_ref,
+    hstream_ref, rchar_ref, rslen_ref, segtab_ref, mn_ref, mx_ref,
     pmm_u_ref, pgapm_u_ref, pmx_u_ref, pzz_u_ref,
     p_my_ref, p_zz_ref, dm_ref, dmm_ref, u0_ref,
     score_ref,
@@ -399,6 +399,13 @@ def _pairhmm_shared_kernel(
     reads and writes line up without rewinds.  segtab rows (SMEM i32):
     0 = stream base, 1 = pos, 2 = haplen, 3 = sweep steps T
     (= seg_len + BH - 1), 4 = checkpoint step (pos_{j+1} - pos_j, or -1).
+
+    Last-row sampling is windowed like the per-pair banded kernel:
+    mn/mx (NB, n_tiles) hold min/max over the tile's lanes (whose last
+    row falls in band b) of rslen - b*BH - 1; segment j's sample window
+    is [mn - pos_j, mx - pos_j + len_j) clipped to [0, T].  The
+    checkpoint save runs as a predicated step (t == ts) so the window
+    split stays a clean three-way loop.
     """
     row = jax.lax.broadcasted_iota(jnp.int32, (BH, LANES), 0)
     row0 = row == 0
@@ -455,19 +462,36 @@ def _pairhmm_shared_kernel(
                            jnp.where(fresh, 0, chki_ref[0:1][0]))
             acc = jnp.where(fresh, u0 * 0.0, chka_ref[0:1, :])
 
-            def step(t, carry):
+            ts = jnp.clip(jnp.where(tsv < 0, T, tsv), 0, T)
+
+            def step(t, carry, *, sample: bool):
                 m_un, y_un, w_p, u_p, u_pp, hd, acc = carry
+
+                # checkpoint: snapshot the entry wavefront of step ts (the
+                # state a from-scratch sweep of the next hap would reach
+                # at its shared-prefix boundary)
+                @pl.when(t == ts)
+                def _save():
+                    chkf_ref[0:1] = m_un[None]
+                    chkf_ref[1:2] = y_un[None]
+                    chkf_ref[2:3] = w_p[None]
+                    chkf_ref[3:4] = u_p[None]
+                    chkf_ref[4:5] = u_pp[None]
+                    chki_ref[0:1] = hd[None]
+                    chka_ref[0:1, :] = acc
 
                 distm = jnp.where((rch & hd) != 0, dmb, dmmb)
                 m_cur = distm * u_pp
                 x_cur = w_p
                 y_cur = m_un * pmy + y_un * pzz
 
-                contrib = jnp.sum(jnp.where(mask_last, m_cur + x_cur, 0.0),
-                                  axis=0, keepdims=True)
-                c = pos + t + b * BH + 2 - rsl_row
-                valid = (c >= 1) & (c <= lenj)
-                acc2 = acc + jnp.where(valid, contrib, 0.0)
+                if sample:
+                    contrib = jnp.sum(
+                        jnp.where(mask_last, m_cur + x_cur, 0.0),
+                        axis=0, keepdims=True)
+                    c = pos + t + b * BH + 2 - rsl_row
+                    valid = (c >= 1) & (c <= lenj)
+                    acc = acc + jnp.where(valid, contrib, 0.0)
 
                 u = m_cur * pmm_u + (x_cur + y_cur) * pgapm_u
                 w = m_cur * pmx_u + x_cur * pzz_u
@@ -492,20 +516,28 @@ def _pairhmm_shared_kernel(
                                          1), :]
                 hd = jnp.where(row0, hrow, pltpu.roll(hd, 1, 0))
 
-                return (m_cur, y_cur, w_sh, u_sh, u_p, hd, acc2)
+                return (m_cur, y_cur, w_sh, u_sh, u_p, hd, acc)
 
+            tile = pl.program_id(0)
+            wlo = jnp.clip(mn_ref[b, tile] - pos, 0, T)
+            whi = jnp.clip(mx_ref[b, tile] - pos + lenj, wlo, T)
             carry = (m_un, y_un, w_p, u_p, u_pp, hd, acc)
-            ts = jnp.clip(jnp.where(tsv < 0, T, tsv), 0, T)
-            carry = jax.lax.fori_loop(0, ts, step, carry)
-            # snapshot the wavefront at the next hap's prefix boundary
-            chkf_ref[0:1] = carry[0][None]
-            chkf_ref[1:2] = carry[1][None]
-            chkf_ref[2:3] = carry[2][None]
-            chkf_ref[3:4] = carry[3][None]
-            chkf_ref[4:5] = carry[4][None]
-            chki_ref[0:1] = carry[5][None]
-            chka_ref[0:1, :] = carry[6]
-            carry = jax.lax.fori_loop(ts, T, step, carry)
+            nos = functools.partial(step, sample=False)
+            smp = functools.partial(step, sample=True)
+            carry = jax.lax.fori_loop(0, wlo, nos, carry)
+            carry = jax.lax.fori_loop(wlo, whi, smp, carry)
+            carry = jax.lax.fori_loop(whi, T, nos, carry)
+            # a checkpoint at the very end of the sweep (ts == T) is taken
+            # here; ts < T checkpoints fired inside the loops
+            @pl.when(ts == T)
+            def _save_end():
+                chkf_ref[0:1] = carry[0][None]
+                chkf_ref[1:2] = carry[1][None]
+                chkf_ref[2:3] = carry[2][None]
+                chkf_ref[3:4] = carry[3][None]
+                chkf_ref[4:5] = carry[4][None]
+                chki_ref[0:1] = carry[5][None]
+                chka_ref[0:1, :] = carry[6]
 
             prev = score_ref[pl.ds(j, 1), :]
             score_ref[pl.ds(j, 1), :] = jnp.where(
@@ -546,19 +578,35 @@ def pairhmm_pallas_shared(
     kernel = functools.partial(_pairhmm_shared_kernel, BH=BH, NB=NB,
                                NS=NSp, Scp=scp, SR=SR)
 
+    # per-(band, tile) last-row step extents: lane with read length rsl
+    # contributes at segment-local steps t1 - pos .. t1 - pos + lenj with
+    # t1 = rsl - b*BH - 1, iff its last row falls in band b
+    rsl = rslen[0].astype(jnp.int32)
+    lane_band = (rsl - 1) // BH
+    bands = jnp.arange(NB, dtype=jnp.int32)[:, None]
+    t1 = rsl[None, :] - bands * BH - 1
+    in_band = (lane_band[None, :] == bands) & (rsl[None, :] >= 1)
+    BIG = jnp.int32(1 << 30)
+    mn = jnp.min(jnp.where(in_band, t1, BIG).reshape(NB, n_tiles, LANES),
+                 axis=2)
+    mx = jnp.max(jnp.where(in_band, t1, -BIG).reshape(NB, n_tiles, LANES),
+                 axis=2)
+
     def col(i):
         return (0, i)
 
     vm = lambda shape: pl.BlockSpec(shape, col, memory_space=pltpu.VMEM)
     bc = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
-    sm = pl.BlockSpec((5, NSp), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    sm = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                    memory_space=pltpu.SMEM)
 
     score = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            bc((SR, LANES)), vm((Rb, LANES)), vm((1, LANES)), sm,
+            bc((SR, LANES)), vm((Rb, LANES)), vm((1, LANES)),
+            sm((5, NSp)), sm((NB, n_tiles)), sm((NB, n_tiles)),
             vm((Rb, LANES)), vm((Rb, LANES)), vm((Rb, LANES)),
             vm((Rb, LANES)),
             vm((Rb, LANES)), vm((Rb, LANES)),
@@ -573,7 +621,7 @@ def pairhmm_pallas_shared(
             pltpu.VMEM((1, LANES), jnp.float32),
         ],
         interpret=_imode(interpret),
-    )(hstream, rchar, rslen, segtab,
+    )(hstream, rchar, rslen, segtab, mn, mx,
       pmm_u, pgapm_u, pmx_u, pzz_u, p_my, p_zz, dm, dmm, u0)
     return score
 
