@@ -39,6 +39,7 @@ NEG = np.int32(DP_NEG_INF)
 
 
 from mgl_tpu.utils import round_up as _round_up  # shared helper
+from mgl_tpu.kernels.pairhmm_pallas import _imode, env_interpret
 
 
 def _sw_kernel(
@@ -590,12 +591,13 @@ def _sw_score_kernel(
     score_ref[:] = best_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("indel_init",))
+@functools.partial(jax.jit, static_argnames=("indel_init", "interpret"))
 def sw_pallas_scores(
     tchar, qpad, tlen, qlen,
     match, mismatch, gap_open, gap_ext,
     *,
     indel_init: bool,
+    interpret: bool = False,
 ):
     """Best-alignment-score-only forward: returns (1, Bp) int32."""
     R1p, Bp = tchar.shape
@@ -631,6 +633,7 @@ def sw_pallas_scores(
             pltpu.VMEM((R1p, LANES), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.int32),
         ],
+        interpret=_imode(interpret),
     )(
         jnp.asarray([[match]], jnp.int32), jnp.asarray([[mismatch]], jnp.int32),
         jnp.asarray([[gap_open]], jnp.int32), jnp.asarray([[gap_ext]], jnp.int32),
@@ -642,7 +645,7 @@ def sw_pallas_scores(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("indel_init", "with_traceback"),
+    static_argnames=("indel_init", "with_traceback", "interpret"),
 )
 def sw_pallas_forward(
     tchar,   # (R1p, Bp) int32: target char per DP row (row 0 unused)
@@ -653,6 +656,7 @@ def sw_pallas_forward(
     *,
     indel_init: bool,
     with_traceback: bool,
+    interpret: bool = False,
 ):
     """with_traceback=True  -> returns (ez, btr_packed):
       ez: (6, Bp) int32 on-device ScoreMax
@@ -731,6 +735,7 @@ def sw_pallas_forward(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch_shapes,
+        interpret=_imode(interpret),
     )(
         jnp.asarray([[match]], jnp.int32), jnp.asarray([[mismatch]], jnp.int32),
         jnp.asarray([[gap_open]], jnp.int32), jnp.asarray([[gap_ext]], jnp.int32),
@@ -745,7 +750,8 @@ def sw_pallas_forward(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("indel_init", "band", "with_traceback"))
+                   static_argnames=("indel_init", "band", "with_traceback",
+                                    "interpret"))
 def sw_pallas_banded(
     tchar_b,  # (Rb, Bp) int32 target chars (row k = matrix row k+1)
     qpad,     # (QR, Bp) int32 query chars (row t = query base t), QR = Q+BH
@@ -756,6 +762,7 @@ def sw_pallas_banded(
     indel_init: bool,
     band: int = 32,
     with_traceback: bool = True,
+    interpret: bool = False,
 ):
     """Banded SW forward with traceback.  Returns (ez, btr):
       ez:  (6, Bp) int32 — mqe, mqe_t, max, max_t, max_q, seg_length
@@ -831,6 +838,7 @@ def sw_pallas_banded(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
+        interpret=_imode(interpret),
     )(
         jnp.asarray([[match]], jnp.int32), jnp.asarray([[mismatch]], jnp.int32),
         jnp.asarray([[gap_open]], jnp.int32), jnp.asarray([[gap_ext]], jnp.int32),

@@ -10,6 +10,12 @@ reference — SURVEY.md §2 parallelism note):
 * globally ordered output comes from the bitonic shard merge
   (parallel/sort.py) over 'dp'.
 
+The per-device compute inside `shard_map` is the *production* banded
+Pallas kernels (kernels/pairhmm_pallas.py, kernels/sw_pallas.py) — on
+CPU meshes (tests, multi-chip dry-runs) they run under the Mosaic TPU
+interpreter (MGL_TPU_PALLAS_INTERPRET=1); `impl="xla"` selects the
+lax.scan reference path for comparison.
+
 `pipeline_step` is the jit/compile target for multi-chip dry-runs and the
 building block for pod-slice deployment: one call = likelihoods for a
 (reads x haps) tile + SW scores vs a reference window + globally sorted
@@ -28,13 +34,103 @@ from mgl_tpu.ops.pairhmm import pairhmm_forward_f32
 from mgl_tpu.ops.sw import sw_forward
 from mgl_tpu.parallel.sort import distributed_sort
 
+_BAND = 32
 
-def _pairhmm_block(rchar, rslen, trans, y_hap, hap, haplen):
-    """Local (r_l x h_l) likelihood block from read/hap shards.
 
-    trans: (r_l, 7, rows) f32 stacked transition+emission rows
-    y_hap: (h_l,) f32 per-hap yInitial.
+def _resolve_impl(impl: str) -> bool:
+    """True = banded Pallas kernels (hardware or interpreter)."""
+    from mgl_tpu.kernels.pairhmm_pallas import env_interpret
+
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    return jax.default_backend() == "tpu" or env_interpret()
+
+
+def _rup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pairhmm_block_pallas(rchar, rslen, trans, y_hap, hap, haplen,
+                          interpret: bool):
+    """Local (r_l x h_l) likelihood block via the banded Pallas kernel.
+
+    Device-side product expansion: per-read transition planes and per-hap
+    char planes are gathered along lanes.  Transition rows beyond each
+    read's length must be zero (pad invariance), as make_example_inputs /
+    read_transition_rows produce.
     """
+    from mgl_tpu.kernels.pairhmm_pallas import (BASE_ENC, LANES,
+                                                pairhmm_pallas_banded)
+
+    r_l, rows = rchar.shape
+    h_l, L = hap.shape
+    B = r_l * h_l
+    Bp = _rup(B, LANES)
+    Rb = _rup(rows - 1, _BAND)
+    HR = L + _BAND
+    enc = jnp.asarray(BASE_ENC)
+
+    lane = jnp.arange(Bp, dtype=jnp.int32)
+    ridx = (lane // h_l) % r_l          # pad lanes wrap around (ignored)
+    hidx = lane % h_l
+
+    rc_rows = enc[rchar][:, 1:]                       # (r_l, rows-1)
+    rc = jnp.zeros((Rb, Bp), jnp.int32).at[: rows - 1].set(
+        rc_rows.T[:, ridx])
+
+    def dev(k, drop):
+        src = trans[:, k, drop:]                      # (r_l, rows-drop)
+        return jnp.zeros((Rb, Bp), jnp.float32).at[: rows - drop].set(
+            src.T[:, ridx])
+
+    pmm_u, pgapm_u = dev(0, 2), dev(1, 2)
+    pmx_u, pzz_u = dev(2, 2), dev(4, 2)
+    p_my, p_zz = dev(3, 1), dev(4, 1)
+    dm, dmm = dev(5, 1), dev(6, 1)
+
+    hp_rows = enc[hap]                                # (h_l, L)
+    hpp = jnp.zeros((HR, Bp), jnp.int32).at[:L].set(hp_rows.T[:, hidx])
+    rl = rslen.astype(jnp.int32)[ridx][None, :]
+    hl = jnp.maximum(haplen.astype(jnp.int32)[hidx], 1)[None, :]
+    u0 = (y_hap[hidx] * trans[:, 1, 1][ridx]).astype(jnp.float32)[None, :]
+
+    score = pairhmm_pallas_banded(
+        hpp, rc, rl, hl, pmm_u, pgapm_u, pmx_u, pzz_u, p_my, p_zz,
+        dm, dmm, u0, band=_BAND, interpret=interpret)
+    return score[0, :B].reshape(r_l, h_l)
+
+
+def _sw_block_pallas(target, tlen, query, qlen, params, interpret: bool):
+    """Best SW score of each read vs the replicated reference window via
+    the banded Pallas kernel (score-only)."""
+    from mgl_tpu.kernels.sw_pallas import LANES, sw_pallas_banded
+
+    r_l, Q = query.shape
+    T = target.shape[1]
+    Bp = _rup(r_l, LANES)
+    Rb = _rup(T, _BAND)
+    QR = _rup(Q + _BAND, 8)
+
+    tchar = jnp.zeros((Rb, Bp), jnp.int32).at[:T].set(
+        jnp.broadcast_to(target.reshape(T, 1), (T, Bp)))
+    qpad = jnp.zeros((QR, Bp), jnp.int32).at[:Q, :r_l].set(
+        query.T.astype(jnp.int32))
+    tl = jnp.zeros((1, Bp), jnp.int32).at[:, :r_l].set(
+        jnp.broadcast_to(tlen.reshape(1, 1), (1, r_l)))
+    ql = jnp.ones((1, Bp), jnp.int32).at[:, :r_l].set(
+        qlen.astype(jnp.int32)[None, :])
+    ez, _ = sw_pallas_banded(
+        tchar, qpad, tl, ql,
+        params.match, params.mismatch, params.gap_open, params.gap_extend,
+        indel_init=False, with_traceback=False, band=_BAND,
+        interpret=interpret)
+    return ez[2, :r_l].astype(jnp.int32)              # overall best score
+
+
+def _pairhmm_block_xla(rchar, rslen, trans, y_hap, hap, haplen):
+    """lax.scan reference path for the likelihood block."""
     r_l = rchar.shape[0]
     h_l = hap.shape[0]
     rep = lambda a: jnp.repeat(a, h_l, axis=0)
@@ -50,8 +146,26 @@ def _pairhmm_block(rchar, rslen, trans, y_hap, hap, haplen):
     return scores.reshape(r_l, h_l)
 
 
-def pipeline_step(mesh: Mesh):
+def _sw_block_xla(target, tlen, query, qlen, params):
+    r_l, Q = query.shape
+    T = target.shape[1]
+    tgt = jnp.broadcast_to(target, (r_l, T))
+    tl = jnp.broadcast_to(tlen, (r_l,))
+    sw = sw_forward(tgt, tl, query, qlen,
+                    jnp.int32(params.match), jnp.int32(params.mismatch),
+                    jnp.int32(params.gap_open), jnp.int32(params.gap_extend),
+                    indel_init=False, with_traceback=False)
+    return jnp.maximum(jnp.max(sw.last_row, axis=0),
+                       jnp.max(sw.last_col, axis=0)).astype(jnp.int32)
+
+
+def pipeline_step(mesh: Mesh, impl: str = "auto", sw_params=None):
     """Build the jitted sharded step for ``mesh``.
+
+    ``impl``: 'pallas' (banded production kernels), 'xla' (lax.scan
+    reference path), or 'auto' (pallas on TPU or under the interpreter).
+    ``sw_params``: SWParameters for the verify stage (kernel sign
+    convention, as in pipelines/mapper.py); defaults to the GATK NGS set.
 
     Returns fn(reads, haps, ref_window) -> dict of sharded outputs, where
       reads: dict of arrays leading dim R (sharded dp):
@@ -61,27 +175,38 @@ def pipeline_step(mesh: Mesh):
         hap (H, L) i32, haplen (H,) i32, y_init (H,) f32
       ref_window: dict (replicated): target (1, T) i32, tlen (1,) i32
     """
+    from mgl_tpu.core.params import SWParameters
+    from mgl_tpu.kernels.pairhmm_pallas import env_interpret
+
+    params = sw_params or SWParameters(25, -50, 110, 6)
+    use_pallas = _resolve_impl(impl)
+    interp = env_interpret()
 
     def step(rchar, rslen, trans, query, qlen, key_hi, key_lo,
              hap, haplen, y_init, target, tlen):
         # 1. likelihood block (dp x hp block of the R x H matrix)
-        lik = _pairhmm_block(rchar, rslen, trans, y_init, hap, haplen)
+        if use_pallas:
+            lik = _pairhmm_block_pallas(rchar, rslen, trans, y_init,
+                                        hap, haplen, interp)
+        else:
+            lik = _pairhmm_block_xla(rchar, rslen, trans, y_init,
+                                     hap, haplen)
 
         # 2. best-hap reduction across the hp axis (ICI collective)
         local_best = jnp.max(lik, axis=1)
         best = jax.lax.pmax(local_best, "hp")
 
         # 3. SW score of each read against the reference window (dp-local)
-        r_l = query.shape[0]
-        tgt = jnp.broadcast_to(target, (r_l, target.shape[1]))
-        tl = jnp.broadcast_to(tlen, (r_l,))
-        sw = sw_forward(tgt, tl, query, qlen,
-                        jnp.int32(25), jnp.int32(-50), jnp.int32(110),
-                        jnp.int32(6), indel_init=False, with_traceback=False)
-        sw_best = jnp.max(sw.last_row, axis=0)
+        if use_pallas:
+            sw_best = _sw_block_pallas(target, tlen, query, qlen,
+                                       params, interp)
+        else:
+            sw_best = _sw_block_xla(target, tlen, query, qlen, params)
 
         # 4. global coordinate sort of read keys over dp (bitonic shard merge)
-        order_vals = jax.lax.axis_index("dp") * r_l + jnp.arange(r_l, dtype=jnp.int32)
+        r_l = query.shape[0]
+        order_vals = jax.lax.axis_index("dp") * r_l + jnp.arange(
+            r_l, dtype=jnp.int32)
         return lik, best, sw_best, key_hi, key_lo, order_vals
 
     dp, hp, rep = P("dp"), P("hp"), P()
