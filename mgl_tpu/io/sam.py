@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 FLAG_UNMAPPED = 0x4
+FLAG_REVERSE = 0x10
 
 
 def sam_header(ref_names: list[str], ref_lengths: list[int],
@@ -79,6 +80,8 @@ def write_sam(path, index, reads: np.ndarray, result: dict,
     else:
         rnames, rlens = [ref_name], [len(index.ref)]
     L = reads.shape[1]
+    strand = result.get("strand")
+    mapqs = result.get("mapq")
     written = 0
     with open(path, "w") as f:
         f.write(sam_header(rnames, rlens))
@@ -92,11 +95,26 @@ def write_sam(path, index, reads: np.ndarray, result: dict,
                 cig = "*"                # mapped but CIGAR not computed
             name = names[i] if names is not None else f"read{i}"
             flag = 0 if pos_out >= 0 else FLAG_UNMAPPED
-            mapq = min(60, int(result.get("votes", np.zeros(n))[i]) * 7) \
-                if pos_out >= 0 else 0
+            rev = (pos_out >= 0 and strand is not None
+                   and int(strand[i]) == 1)
+            if rev:
+                flag |= FLAG_REVERSE
+            if mapqs is not None:
+                mapq = int(mapqs[i]) if pos_out >= 0 else 0
+            else:
+                mapq = min(60, int(result.get("votes", np.zeros(n))[i]) * 7) \
+                    if pos_out >= 0 else 0
             rn = rnames[int(contig[i])] if pos_out >= 0 else "*"
+            # SEQ/QUAL in aligned (reference) orientation per SAM spec
+            if rev:
+                from mgl_tpu.pipelines.mapper import revcomp
+
+                seq = revcomp(reads[i])
+                q = None if quals is None else quals[i][::-1]
+            else:
+                seq = reads[i]
+                q = None if quals is None else quals[i]
             f.write(sam_record(name, flag, rn, pos_out, mapq, cig,
-                               reads[i].tobytes(),
-                               None if quals is None else quals[i]))
+                               seq.tobytes(), q))
             written += 1
     return written

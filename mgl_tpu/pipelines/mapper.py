@@ -163,21 +163,31 @@ class ReferenceIndex:
         return lo, hi
 
 
-def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
-                    read_len: int, stride: int | None = None):
-    """Vectorized candidate position per read by diagonal voting.
+_RC = np.zeros(256, np.uint8)
+for _a, _b in zip(b"ACGTacgtNn", b"TGCATGCANN"):
+    _RC[_a] = _b
 
-    reads: (N, read_len) ASCII.  Returns (pos, votes): best reference
-    offset per read (int32, -1 if unmapped) and its vote count.
+
+def revcomp(seq: np.ndarray) -> np.ndarray:
+    """Reverse complement of ASCII bases (vectorized; rows if 2-D)."""
+    a = np.asarray(seq, np.uint8)
+    return _RC[a[..., ::-1]]
+
+
+def _vote_diagonals(index: ReferenceIndex, reads: np.ndarray,
+                    read_len: int, stride: int):
+    """Diagonal voting over a read batch.
+
+    Returns (pos, votes, votes2): per read the exact best diagonal (the
+    most-supported single diagonal inside the winning +-8 bin), its vote
+    count, and the runner-up bin's count (for MAPQ).
     """
     k = index.k
-    stride = stride or k
     N = reads.shape[0]
     offsets = np.arange(0, read_len - k + 1, stride, dtype=np.int32)
     S = len(offsets)
 
     code = encode(reads.reshape(-1)).reshape(N, read_len)
-    # seed kmer values for every read x seed offset
     vals = np.zeros((N, S), np.uint64)
     valid = np.ones((N, S), bool)
     for i in range(k):
@@ -192,10 +202,12 @@ def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
     seed_read = np.repeat(np.arange(N, dtype=np.int64), S)[keep]
     seed_off = np.tile(offsets, N)[keep]
 
-    # expand hit ranges (total bounded by max_hits per seed)
+    pos = np.full(N, -1, np.int64)
+    votes = np.zeros(N, np.int32)
+    votes2 = np.zeros(N, np.int32)
     total = int((hi - lo).sum())
     if total == 0:
-        return np.full(N, -1, np.int32), np.zeros(N, np.int32)
+        return pos, votes, votes2
     reps = (hi - lo).astype(np.int64)
     flat_idx = np.repeat(lo, reps) + (
         np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps))
@@ -203,28 +215,93 @@ def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
     hit_read = np.repeat(seed_read, reps)
     hit_diag = hit_pos - np.repeat(seed_off, reps)   # candidate read start
 
-    # vote: most-supported diagonal per read (tolerate +-indel via //8 bin)
+    # vote: most-supported diagonal bin per read (+-indel tolerance //8)
     diag_bin = hit_diag // 8
     key = hit_read * np.int64(1 << 40) + (diag_bin + np.int64(1 << 32))
     uniq, counts = np.unique(key, return_counts=True)
     u_read = (uniq >> 40).astype(np.int64)
     u_bin = (uniq & np.int64((1 << 40) - 1)) - np.int64(1 << 32)
 
-    # best bin per read: sort by (read, count) and take last per read
     order = np.lexsort((counts, u_read))
     u_read_s, u_bin_s, counts_s = u_read[order], u_bin[order], counts[order]
     last = np.nonzero(np.diff(np.concatenate([u_read_s, [-1]])) != 0)[0]
-
-    pos = np.full(N, -1, np.int32)
-    votes = np.zeros(N, np.int32)
-    # refine: exact diagonal = median hit in best bin; approximate with
-    # bin start * 8 clamped to reference
     best_read = u_read_s[last]
-    best_pos = np.clip(u_bin_s[last] * 8, 0,
-                       len(index.ref) - 1).astype(np.int32)
-    pos[best_read] = best_pos
+    best_bin = u_bin_s[last]
     votes[best_read] = counts_s[last].astype(np.int32)
-    return pos, votes
+    # runner-up: the best-supported *non-adjacent* bin (adjacent bins are
+    # support for the same locus, not competition); scan a few entries
+    # back since same-locus bins can occupy the next slots
+    v2 = np.zeros(len(last), np.int64)
+    for back in (1, 2, 3):
+        prev = np.maximum(last - back, 0)
+        ok = ((last >= back) & (u_read_s[prev] == best_read)
+              & (np.abs(u_bin_s[prev] - best_bin) > 1))
+        v2 = np.maximum(v2, np.where(ok, counts_s[prev], 0))
+    votes2[best_read] = v2.astype(np.int32)
+
+    # exact diagonal: most-supported single diagonal within the best bin
+    bin_of_hit = hit_read * np.int64(1 << 40) + (diag_bin + np.int64(1 << 32))
+    best_key = np.full(N, -1, np.int64)
+    best_key[best_read] = best_read * np.int64(1 << 40) + (
+        best_bin + np.int64(1 << 32))
+    in_best = bin_of_hit == best_key[hit_read]
+    hr, hd = hit_read[in_best], hit_diag[in_best]
+    dkey = hr * np.int64(1 << 40) + (hd + np.int64(1 << 32))
+    du, dc = np.unique(dkey, return_counts=True)
+    dr = (du >> 40).astype(np.int64)
+    dd = (du & np.int64((1 << 40) - 1)) - np.int64(1 << 32)
+    dorder = np.lexsort((dc, dr))
+    dlast = np.nonzero(np.diff(np.concatenate([dr[dorder], [-1]])) != 0)[0]
+    er = dr[dorder][dlast]
+    pos[er] = np.clip(dd[dorder][dlast], 0, len(index.ref) - 1)
+    return pos, votes, votes2
+
+
+def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
+                    read_len: int, stride: int | None = None,
+                    both_strands: bool = False):
+    """Vectorized candidate position per read by diagonal voting.
+
+    reads: (N, read_len) ASCII.  Returns (pos, votes) or, with
+    ``both_strands``, (pos, votes, strand, votes2): best reference offset
+    (int64, -1 if unmapped; the *exact* winning diagonal, not a bin
+    estimate), its vote count, the winning strand (0 forward / 1
+    reverse-complement), and the best competing vote count across both
+    strands and non-adjacent diagonals (the MAPQ denominator).
+    """
+    stride = stride or index.k
+    N = reads.shape[0]
+    if not both_strands:
+        pos, votes, _ = _vote_diagonals(index, reads, read_len, stride)
+        return pos, votes
+    batch = np.concatenate([reads, revcomp(reads)], axis=0)
+    pos, votes, votes2 = _vote_diagonals(index, batch, read_len, stride)
+    fw, rc = slice(0, N), slice(N, 2 * N)
+    rc_wins = votes[rc] > votes[fw]
+    strand = rc_wins.astype(np.int8)
+    best_pos = np.where(rc_wins, pos[rc], pos[fw])
+    best_votes = np.where(rc_wins, votes[rc], votes[fw])
+    within = np.where(rc_wins, votes2[rc], votes2[fw])
+    other = np.where(rc_wins, votes[fw], votes[rc])
+    second = np.maximum(within, other).astype(np.int32)
+    return best_pos, best_votes, strand, second
+
+
+def mapq_from_votes(votes: np.ndarray, votes2: np.ndarray,
+                    max_votes: int | None = None) -> np.ndarray:
+    """Mapping quality from best-vs-second-best seed support.
+
+    A repeat-aware gap model (the reference library has no mapper; this
+    follows the minimap2-style shape): full confidence needs both a
+    clear margin over the runner-up locus and enough absolute support.
+    """
+    v1 = np.asarray(votes, np.float64)
+    v2 = np.asarray(votes2, np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.where(v1 > 0, (v1 - v2) / np.maximum(v1, 1), 0.0)
+    conf = np.minimum(1.0, v1 / 4.0)
+    q = 60.0 * frac * conf
+    return np.clip(np.rint(q), 0, 60).astype(np.int32)
 
 
 
@@ -266,13 +343,17 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
     params = params or SWParameters(25, -50, 110, 6)
     strategy = strategy or OverhangStrategy.SOFTCLIP
     N, L = reads.shape
-    pos, votes = seed_candidates(index, reads, L)
+    pos, votes, strand, votes2 = seed_candidates(index, reads, L,
+                                                 both_strands=True)
     mapped = np.nonzero(pos >= 0)[0]
 
     out = {
         "pos": np.full(N, -1, np.int64),
         "score": np.full(N, -(2**30), np.int64),
         "votes": votes,
+        "votes2": votes2,
+        "strand": strand,
+        "mapq": mapq_from_votes(votes, votes2),
         "offset": np.full(N, -1, np.int64),   # window offset where known
         "window_pad": window_pad,
     }
@@ -285,6 +366,10 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
     wlen = L + 2 * window_pad
     start = np.clip(pos[mapped] - window_pad, 0,
                     max(len(index.ref) - wlen, 0)).astype(np.int64)
+    # verify in aligned orientation: reverse-strand reads run as their
+    # reverse complement (SAM stores SEQ/CIGAR in this orientation)
+    oriented = np.where(strand[mapped, None] == 1,
+                        revcomp(reads[mapped]), reads[mapped])
 
     def gather_windows():
         win_idx = start[:, None] + np.arange(wlen)[None, :]
@@ -292,7 +377,7 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
 
     use_pallas = (impl if impl != "auto" else _default_impl_lazy()) == "pallas"
     if with_cigar and use_pallas:
-        res = sw_cigar_windows(index, start.astype(np.int32), reads[mapped],
+        res = sw_cigar_windows(index, start.astype(np.int32), oriented,
                                wlen, params, strategy)
         out["pos"][mapped] = start
         for j, i in enumerate(mapped):
@@ -304,7 +389,7 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
         windows = gather_windows()
         res = SmithWatermanAligner(impl=impl).align_batch(
             [w.tobytes() for w in windows],
-            [r.tobytes() for r in reads[mapped]], params, strategy)
+            [r.tobytes() for r in oriented], params, strategy)
         out["pos"][mapped] = start
         for j, i in enumerate(mapped):
             out["cigar"][i] = res[j].cigar
@@ -315,7 +400,7 @@ def map_reads(index: ReferenceIndex, reads: np.ndarray,
         # host windows on the fallback.  Exact-tier offsets are recorded
         # so coordinates/SAM don't have to guess.
         windows = gather_windows()
-        rsub = reads[mapped]
+        rsub = oriented
         clipped = start != (pos[mapped] - window_pad)
         exact, exact_o = _exact_tier(windows, rsub, window_pad, wlen, L,
                                      clipped)
@@ -430,6 +515,9 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
         "pos": np.full(N, -1, np.int64),
         "score": np.full(N, -(2**30), np.int64),
         "votes": np.zeros(N, np.int32),
+        "votes2": np.zeros(N, np.int32),
+        "strand": np.zeros(N, np.int8),
+        "mapq": np.zeros(N, np.int32),
         "offset": np.full(N, -1, np.int64),
         "window_pad": window_pad,
     }
@@ -442,8 +530,12 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
     for lo in range(0, N, chunk):
         hi = min(lo + chunk, N)
         sub = reads[lo:hi]
-        pos, votes = seed_candidates(index, sub, L)
+        pos, votes, strand, votes2 = seed_candidates(index, sub, L,
+                                                     both_strands=True)
         out["votes"][lo:hi] = votes
+        out["votes2"][lo:hi] = votes2
+        out["strand"][lo:hi] = strand
+        out["mapq"][lo:hi] = mapq_from_votes(votes, votes2)
         mapped = np.nonzero(pos >= 0)[0]
         if len(mapped) == 0:
             if pending is not None:
@@ -454,7 +546,8 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
                         max(len(index.ref) - wlen, 0)).astype(np.int64)
         win_idx = start[:, None] + np.arange(wlen)[None, :]
         windows = index.ref[np.clip(win_idx, 0, len(index.ref) - 1)]
-        rsub = sub[mapped]
+        rsub = np.where(strand[mapped, None] == 1,
+                        revcomp(sub[mapped]), sub[mapped])
         clipped = start != (pos[mapped] - window_pad)
         exact, exact_o = _exact_tier(windows, rsub, window_pad, wlen, L,
                                      clipped)

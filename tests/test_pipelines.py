@@ -200,3 +200,118 @@ def test_mapper_handles_indel_reads():
     assert ok.mean() > 0.9
     # indel reads can't hit the exact tier; SW must still score them high
     assert (out["score"][mapped] > 0.7 * 25 * L).mean() > 0.9
+
+
+def _mutate_with_indels(rng, ref, starts, L, snp=0.01, indel=0.2):
+    """Reads with ~1% SNPs and (with prob ``indel``) one 1-3 bp indel."""
+    W = L + 8
+    win = ref[starts[:, None] + np.arange(W)[None, :]].copy()
+    mut = rng.random(win.shape) < snp
+    win[mut] = rng.choice(BASES, size=int(mut.sum()))
+    reads = np.empty((len(starts), L), np.uint8)
+    for i in range(len(starts)):
+        row = win[i]
+        if rng.random() < indel:
+            p = int(rng.integers(10, L - 10))
+            n = int(rng.integers(1, 4))
+            if rng.random() < 0.5:                       # deletion from ref
+                row = np.concatenate([row[:p], row[p + n:]])
+            else:                                        # insertion
+                row = np.concatenate(
+                    [row[:p], rng.choice(BASES, n), row[p:]])
+        reads[i] = row[:L]
+    return reads
+
+
+def test_mapper_two_strands_accuracy(sim):
+    """>=99% of two-strand reads with 1% SNPs + indels map to the true
+    locus with the correct strand (VERDICT r1 item 5)."""
+    from mgl_tpu.pipelines.mapper import revcomp
+
+    idx, _, _ = sim
+    rng = np.random.default_rng(21)
+    N, L = 600, 100
+    starts = rng.integers(0, len(idx.ref) - L - 8, size=N)
+    reads = _mutate_with_indels(rng, idx.ref, starts, L)
+    true_strand = (rng.random(N) < 0.5).astype(np.int8)
+    reads[true_strand == 1] = revcomp(reads[true_strand == 1])
+
+    out = map_reads(idx, reads)
+    mapped = out["pos"] >= 0
+    # window must contain the truth and the strand must match
+    d = starts - out["pos"]
+    good = mapped & (d >= 0) & (d <= 48) & (out["strand"] == true_strand)
+    assert good.mean() >= 0.99, good.mean()
+    # exact diagonals: for correctly mapped reads the window start sits
+    # window_pad before the true start (no bin*8 quantization)
+    off = (starts - out["pos"])[good]
+    assert np.abs(off - 24).mean() < 2.0
+
+
+def test_mapper_mapq_discriminates_repeats(sim):
+    """MAPQ: unique-locus reads high, repeat-locus reads ~0."""
+    idx, _, _ = sim
+    rng = np.random.default_rng(22)
+    # build a reference with an exact 3 kb duplication
+    seg = idx.ref[5000:8000]
+    ref2 = np.concatenate([idx.ref[:30000], seg, idx.ref[30000:]])
+    idx2 = ReferenceIndex.build(ref2, k=16)
+    L = 100
+    uniq_starts = rng.integers(15000, 25000, size=50)
+    rep_starts = rng.integers(5100, 7800, size=50)
+    mk = lambda st: ref2[st[:, None] + np.arange(L)[None, :]].copy()
+    out_u = map_reads(idx2, mk(uniq_starts))
+    out_r = map_reads(idx2, mk(rep_starts))
+    assert np.median(out_u["mapq"][out_u["pos"] >= 0]) >= 40
+    assert np.median(out_r["mapq"][out_r["pos"] >= 0]) == 0
+
+
+def test_write_sam_strand_and_validity(sim, tmp_path):
+    """SAM output: coordinate-sorted, flag 16 + reverse-complemented SEQ
+    and reversed QUAL for reverse-strand reads, well-formed records."""
+    import re
+
+    from mgl_tpu.io.sam import write_sam
+    from mgl_tpu.pipelines.mapper import revcomp
+
+    idx, _, _ = sim
+    rng = np.random.default_rng(23)
+    N, L = 80, 100
+    starts = rng.integers(0, len(idx.ref) - L, size=N)
+    reads = idx.ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    true_strand = (rng.random(N) < 0.5).astype(np.int8)
+    reads[true_strand == 1] = revcomp(reads[true_strand == 1])
+    quals = rng.integers(10, 40, size=(N, L)).astype(np.uint8)
+
+    out = map_reads(idx, reads)
+    path = tmp_path / "out.sam"
+    n_written = write_sam(path, idx, reads, out, quals=quals)
+    assert n_written == N
+
+    lines = path.read_text().splitlines()
+    body = [l for l in lines if not l.startswith("@")]
+    assert lines[0].startswith("@HD") and "SO:coordinate" in lines[0]
+    last_pos = 0
+    n_rev = 0
+    for l in body:
+        f = l.split("\t")
+        assert len(f) >= 11
+        name, flag, rname, pos1, mapq, cig = (
+            f[0], int(f[1]), f[2], int(f[3]), int(f[4]), f[5])
+        i = int(name.replace("read", ""))
+        if flag & 0x4:
+            assert rname == "*" and pos1 == 0 and mapq == 0
+            continue
+        assert pos1 >= last_pos           # SO:coordinate holds
+        last_pos = pos1
+        assert 0 <= mapq <= 60
+        assert cig == "*" or re.fullmatch(r"(\d+[MIDS])+", cig)
+        if flag & 0x10:
+            n_rev += 1
+            assert f[9].encode() == revcomp(reads[i]).tobytes().decode().encode()
+            assert f[10].encode() == bytes(
+                (quals[i][::-1] + 33).astype(np.uint8))
+        else:
+            assert f[9].encode() == reads[i].tobytes()
+            assert f[10].encode() == bytes((quals[i] + 33).astype(np.uint8))
+    assert n_rev >= N // 4                # both strands present
