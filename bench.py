@@ -91,6 +91,122 @@ def bench_pairhmm(B=32768, rdlen=150, haplen=400, iters=4):
     return B * rdlen * haplen / best / 1e9, best
 
 
+def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
+                         iters=3):
+    """GATK-shaped product through the prefix-sharing shared-hap-set
+    kernel (device-resident timing)."""
+    import jax.numpy as jnp
+
+    import mgl_tpu.kernels.pairhmm_pallas as K
+    from mgl_tpu.batch.bucketing import bucket_dims
+    from mgl_tpu.core.context import CTX_F32
+    from mgl_tpu.ops.pairhmm import compute_haplotype_similarities
+
+    rng = np.random.default_rng(5)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(ACGT, haplen)
+    haps = [base.copy()]
+    for p in sorted(int(x) for x in
+                    rng.integers(haplen * 3 // 8, haplen - 10, n_haps - 1)):
+        h = haps[-1].copy()
+        h[p] = ACGT[(int(np.searchsorted(ACGT, h[p])) + 1) % 4]
+        haps.append(h)
+    reads = []
+    for _ in range(n_reads):
+        st = int(rng.integers(0, haplen - rdlen))
+        b = base[st: st + rdlen].copy()
+        b[rng.integers(0, rdlen)] = ACGT[rng.integers(0, 4)]
+        q = rng.integers(15, 45, rdlen).astype(np.uint8)
+        reads.append(dict(bases=b, q=q, i=q, d=q,
+                          c=np.full(rdlen, 10, np.uint8)))
+
+    pos, _, cmax = compute_haplotype_similarities(haps)
+    planes, rchar, rslen, pgapm1 = K.pack_reads_for_product(reads, 32)
+    Bp = K._round_up(n_reads, K.LANES)
+
+    def padl(a, dt):
+        out = np.zeros((a.shape[0], Bp), dt)
+        out[:, : a.shape[1]] = a
+        return out
+
+    seg_len = [len(h) - int(pos[j]) for j, h in enumerate(haps)]
+    bases_ = np.concatenate([[0], np.cumsum(seg_len)]).astype(np.int64)
+    S = int(bases_[-1])
+    scp = K._round_up(bucket_dims(S + 34, (256, 512, 1024, 2048, 4096,
+                                           8192)), 8)
+    NSp = K._round_up(bucket_dims(n_haps, (8, 16, 32, 64, 128)), 8)
+    hstream = np.zeros((scp, K.LANES), np.int32)
+    segtab = np.zeros((5, NSp), np.int32)
+    segtab[4, :] = -1
+    segtab[0, n_haps:] = S
+    for j, h in enumerate(haps):
+        p = int(pos[j])
+        hstream[bases_[j]: bases_[j + 1], :] = K.BASE_ENC[
+            np.asarray(h)[p:, None]]
+        segtab[0, j] = bases_[j]
+        segtab[1, j] = p
+        segtab[2, j] = len(h)
+        segtab[3, j] = seg_len[j] + 31
+        if j + 1 < n_haps and pos[j + 1] > 0:
+            segtab[4, j] = int(pos[j + 1]) - p
+    y_sh = np.float32(CTX_F32.initial_constant) / np.float32(cmax)
+    u0 = padl((y_sh * pgapm1).astype(np.float32), np.float32)
+    dev = [jnp.asarray(x) for x in
+           (hstream, padl(rchar, np.int32), padl(rslen, np.int32), segtab,
+            *(padl(p_, np.float32) for p_ in planes), u0)]
+    run = lambda: K.pairhmm_pallas_shared(*dev, scp=scp, band=32)
+    _sync(run())
+    _sync(run())
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        outs = [run() for _ in range(iters)]
+        for o in outs:
+            _sync(o)
+        best = min(best, (time.time() - t0) / iters)
+    cells = n_reads * rdlen * sum(len(h) for h in haps)
+    sharing = 1.0 - S / sum(len(h) for h in haps)
+    return cells / best / 1e9, sharing
+
+
+def bench_engine(n_reads=512, n_haps=12, rdlen=151, haplen=420):
+    """End-to-end engine throughput: the full cascade (seed/dedup, f32
+    device pass, extended-range rescue tail) including host packing and
+    transfers — the number that covers what the kernel GCUPS excludes."""
+    from mgl_tpu.api import PairHmmEngine
+
+    rng = np.random.default_rng(7)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(ACGT, haplen)
+    haps = [base.copy()]
+    for p in sorted(int(x) for x in
+                    rng.integers(haplen // 3, haplen - 10, n_haps - 1)):
+        h = haps[-1].copy()
+        h[p] = ACGT[(int(np.searchsorted(ACGT, h[p])) + 1) % 4]
+        haps.append(h)
+    reads = []
+    for k in range(n_reads):
+        st = int(rng.integers(0, haplen - rdlen))
+        b = base[st: st + rdlen].copy()
+        if k % 16 == 0:      # a mismatched tail that rides the rescue tier
+            b = rng.choice(ACGT, rdlen)
+            q = rng.integers(45, 60, rdlen).astype(np.uint8)
+        else:
+            b[rng.integers(0, rdlen)] = ACGT[rng.integers(0, 4)]
+            q = rng.integers(15, 45, rdlen).astype(np.uint8)
+        reads.append(dict(bases=b, q=q, i=q, d=q,
+                          c=np.full(rdlen, 10, np.uint8)))
+    eng = PairHmmEngine()
+    eng.compute_likelihoods(reads[:64], haps)     # warm compiles
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = eng.compute_likelihoods(reads, haps)
+        best = min(best, time.time() - t0)
+    assert out.shape == (n_reads, n_haps)
+    return n_reads * n_haps / best
+
+
 def main():
     import jax
 
@@ -100,6 +216,8 @@ def main():
     sw_gcups, sw_t = bench_sw(with_traceback=True)
     sw_score_gcups, _ = bench_sw(with_traceback=False)
     ph_gcups, ph_t = bench_pairhmm()
+    ph_shared_gcups, sharing = bench_pairhmm_shared()
+    engine_pairs = bench_engine()
 
     vs = sw_gcups / baseline["sw_avx_gcups_150"]
     out = {
@@ -112,8 +230,13 @@ def main():
             "sw_traceback_gcups": round(sw_gcups, 2),
             "sw_score_only_gcups": round(sw_score_gcups, 2),
             "pairhmm_f32_gcups": round(ph_gcups, 2),
+            "pairhmm_shared_gcups": round(ph_shared_gcups, 2),
+            "pairhmm_shared_prefix_saving": round(sharing, 3),
+            "engine_pairs_per_s": round(engine_pairs, 0),
             "pairhmm_vs_baseline": round(
                 ph_gcups / baseline["pairhmm_avxf_gcups_150x400"], 1),
+            "pairhmm_shared_vs_baseline": round(
+                ph_shared_gcups / baseline["pairhmm_avxf_gcups_150x400"], 1),
             "baseline_cpu_sw_gcups": baseline["sw_avx_gcups_150"],
             "baseline_cpu_pairhmm_gcups":
                 baseline["pairhmm_avxf_gcups_150x400"],

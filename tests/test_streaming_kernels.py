@@ -1,0 +1,166 @@
+"""HBM-streaming (long-sequence) modes of the banded kernels.
+
+stream=True moves the per-row planes (SW target chars; PairHMM
+transition/emission planes + read chars) to HBM and double-buffers
+(band, LANES) slices through VMEM scratch — the TPU re-expression of the
+reference's O(band x COLS) band streaming (compute_prob_avxf.cc:663-673,
+sw_avx.cpp:37-49).  Scores and tracebacks must be bit-identical to the
+all-VMEM kernels; these tests run small shapes under the Mosaic
+interpreter so both modes execute everywhere.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("MGL_TPU_PALLAS_INTERPRET", "1")
+
+
+def test_sw_banded_stream_bitexact():
+    import jax.numpy as jnp
+
+    from mgl_tpu.kernels.sw_pallas import (prepare_inputs_banded,
+                                           sw_pallas_banded)
+
+    rng = np.random.default_rng(2)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    B = 8
+    tl = rng.integers(100, 300, B).astype(np.int32)
+    ql = rng.integers(50, 150, B).astype(np.int32)
+    T, Q = int(tl.max()), int(ql.max())
+    tg = np.zeros((B, T), np.int32)
+    qr = np.zeros((B, Q), np.int32)
+    for b in range(B):
+        tg[b, : tl[b]] = rng.choice(ACGT, tl[b])
+        qr[b, : ql[b]] = rng.choice(ACGT, ql[b])
+    tchar, qpad, tlo, qlo = prepare_inputs_banded(tg, tl, qr, ql)
+    args = [jnp.asarray(x) for x in (tchar, qpad, tlo, qlo)]
+    kw = dict(indel_init=False, interpret=True)
+    ez0, btr0 = sw_pallas_banded(*args, 25, -50, 110, 6,
+                                 with_traceback=True, **kw)
+    ez1, btr1 = sw_pallas_banded(*args, 25, -50, 110, 6,
+                                 with_traceback=True, stream=True, **kw)
+    assert np.array_equal(np.asarray(ez0), np.asarray(ez1))
+    assert np.array_equal(np.asarray(btr0), np.asarray(btr1))
+    ez2, _ = sw_pallas_banded(*args, 25, -50, 110, 6,
+                              with_traceback=False, stream=True, **kw)
+    assert np.array_equal(np.asarray(ez0), np.asarray(ez2))
+
+
+def test_pairhmm_banded_stream_bitexact():
+    import jax.numpy as jnp
+
+    import mgl_tpu.kernels.pairhmm_pallas as K
+    from mgl_tpu.ops.pairhmm import forward_scores_xla, pack_pairs
+
+    rng = np.random.default_rng(3)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    reads, haps = [], []
+    for _ in range(12):
+        n = int(rng.integers(8, 120))
+        h = int(rng.integers(10, 200))
+        q = rng.integers(10, 50, n).astype(np.uint8)
+        reads.append(dict(bases=rng.choice(ACGT, n), q=q, i=q, d=q,
+                          c=np.full(n, 10, np.uint8)))
+        haps.append(rng.choice(ACGT, h))
+    batch = pack_pairs(reads, haps, [(k, k) for k in range(12)])
+    a = K.prepare_inputs_banded(batch)
+    keys = ("hap", "rchar", "rslen", "haplen", "pmm_u", "pgapm_u", "pmx_u",
+            "pzz_u", "p_my", "p_zz", "dm", "dmm", "u0")
+    args = [jnp.asarray(a[k]) for k in keys]
+    s0 = np.asarray(K.pairhmm_pallas_banded(*args, interpret=True))
+    s1 = np.asarray(K.pairhmm_pallas_banded(*args, interpret=True,
+                                            stream=True))
+    assert np.array_equal(s0, s1)
+    want = forward_scores_xla(batch).astype(np.float32)
+    assert np.array_equal(s0[0, :12], want)
+
+
+def test_engine_dispatch_uses_streaming_tier(monkeypatch):
+    """Buckets beyond the VMEM envelope but inside the streaming envelope
+    go through the pallas streaming path (not the XLA fallback), and the
+    cascade output matches the XLA impl."""
+    import mgl_tpu.ops.pairhmm as P
+
+    rng = np.random.default_rng(5)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    hap = rng.choice(ACGT, 150)
+    reads = []
+    for k in range(3):
+        b = hap[5: 5 + 120].copy()
+        mut = rng.random(120) < 0.02
+        b[mut] = rng.choice(ACGT, int(mut.sum()))
+        q = rng.integers(20, 40, 120).astype(np.uint8)
+        reads.append(dict(bases=b, q=q, i=q, d=q,
+                          c=np.full(120, 10, np.uint8)))
+
+    calls = {}
+    real = P._pairhmm_fits_vmem
+    monkeypatch.setattr(P, "_pairhmm_fits_vmem", lambda *a, **k: False)
+    monkeypatch.setattr(P, "_shared_product_scores", lambda *a, **k: None)
+    orig = __import__("mgl_tpu.kernels.pairhmm_pallas",
+                      fromlist=["forward_scores_product"])
+    real_fsp = orig.forward_scores_product
+
+    def spy(*a, **k):
+        calls["stream"] = k.get("stream")
+        return real_fsp(*a, **k)
+
+    monkeypatch.setattr(orig, "forward_scores_product", spy)
+    got = P.compute_likelihoods(reads, [hap], impl="pallas")
+    assert calls.get("stream") is True
+    want = P.compute_likelihoods(reads, [hap], impl="xla")
+    assert np.max(np.abs(got - want)) < 1e-9
+
+
+@pytest.mark.tpu
+def test_sw_long_target_stream_tpu():
+    """Long-sequence SW through the streaming banded kernel on hardware
+    (the VERDICT r1 'done' case): 20 kbp x 5 kbp score-only beyond the
+    old VMEM envelope, and a full 12 kbp x 3 kbp CIGAR vs the scalar
+    oracle (CIGAR kept smaller to bound the traceback HBM footprint on
+    the shared dev chip)."""
+    if os.environ.get("MGL_TPU_TEST_TPU") != "1":
+        pytest.skip("TPU hardware tests disabled")
+    import jax.numpy as jnp
+
+    from mgl_tpu.api import _sw_fits_stream, _sw_fits_vmem
+    from mgl_tpu.core.params import OverhangStrategy, SWParameters
+    from mgl_tpu.kernels.sw_pallas import (align_batch_banded,
+                                           prepare_inputs_banded,
+                                           sw_pallas_banded)
+    from mgl_tpu.ref_impl.sw_scalar import align as align_ref
+    from mgl_tpu.ref_impl.sw_scalar import calculate_matrix
+
+    rng = np.random.default_rng(11)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    params = SWParameters(25, -50, 110, 6)
+
+    # 20k x 5k score-only
+    tgt = rng.choice(ACGT, 20000)
+    q = tgt[7000:12000].copy()
+    mut = rng.random(len(q)) < 0.01
+    q[mut] = rng.choice(ACGT, int(mut.sum()))
+    assert not _sw_fits_vmem(len(tgt), len(q))
+    assert _sw_fits_stream(len(tgt), len(q))
+    tchar, qpad, tl, ql = prepare_inputs_banded(
+        tgt[None, :].astype(np.int32), np.array([len(tgt)], np.int32),
+        q[None, :].astype(np.int32), np.array([len(q)], np.int32))
+    ez, _ = sw_pallas_banded(
+        jnp.asarray(tchar), jnp.asarray(qpad), jnp.asarray(tl),
+        jnp.asarray(ql), 25, -50, 110, 6, indel_init=False,
+        with_traceback=False, stream=True)
+    got_best = int(np.asarray(ez)[2, 0])
+    _, ezs = calculate_matrix(tgt, q, params, OverhangStrategy.SOFTCLIP)
+    assert got_best == int(ezs["max"])
+
+    # 12k x 3k full CIGAR
+    tgt2 = rng.choice(ACGT, 12000)
+    q2 = tgt2[4000:7000].copy()
+    mut = rng.random(len(q2)) < 0.01
+    q2[mut] = rng.choice(ACGT, int(mut.sum()))
+    got = align_batch_banded([tgt2.tobytes()], [q2.tobytes()], params,
+                             OverhangStrategy.SOFTCLIP, stream=True)
+    want = align_ref(tgt2, q2, params, OverhangStrategy.SOFTCLIP)
+    assert got[0] == (want[0], want[1])

@@ -86,7 +86,9 @@ def test_sw_pallas_golden_cigars(tpu_backend, sw_golden, backend):
 
     align_batch = (sw_pallas.align_batch_banded if backend == "banded"
                    else sw_pallas.align_batch)
-    cases = sw_golden[:400]
+    # full corpus on the banded production kernel; the plane cross-check
+    # keeps a sample (it exists as a second implementation only)
+    cases = sw_golden if backend == "banded" else sw_golden[:400]
     by_key = {}
     for c in cases:
         key = (c["match"], c["mismatch"], c["open"], c["ext"], c["strategy"])
@@ -192,3 +194,101 @@ def test_mapper_cigar_windows_match_aligner(tpu_backend):
         OverhangStrategy.SOFTCLIP)
     for i, ((cig, off), w) in enumerate(zip(got, want)):
         assert cig == w.cigar and off == w.offset, i
+
+
+def test_pairhmm_shared_prefix_kernel_tpu(tpu_backend):
+    """Prefix-sharing shared-hap-set kernel on hardware: sharing on == off
+    bit-for-bit, and scores match the per-pair product kernel through the
+    avxf-variant rescale within the 1e-5 contract."""
+    from mgl_tpu.kernels.pairhmm_pallas import (forward_scores_product,
+                                                forward_scores_shared)
+
+    rng = np.random.default_rng(17)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(ACGT, 300)
+    haps = [base.copy()]
+    for p in sorted(int(x) for x in rng.integers(120, 290, 5)):
+        h = haps[-1].copy()
+        h[p] = ACGT[(int(np.searchsorted(ACGT, h[p])) + 1) % 4]
+        haps.append(h)
+    reads = []
+    for _ in range(140):
+        st = int(rng.integers(0, 180))
+        b = base[st: st + 110].copy()
+        b[rng.integers(0, 110)] = ACGT[rng.integers(0, 4)]
+        q = rng.integers(15, 45, 110).astype(np.uint8)
+        reads.append(dict(bases=b, q=q, i=q, d=q,
+                          c=np.full(110, 10, np.uint8)))
+    shared = forward_scores_shared(reads, haps)
+    noshare = forward_scores_shared(reads, haps, share=False)
+    assert np.array_equal(shared, noshare)
+    pairs = [(r, h) for r in range(len(reads)) for h in range(len(haps))]
+    prod = forward_scores_product(reads, haps, pairs).reshape(
+        len(reads), len(haps)).astype(np.float64)
+    nz = prod > 0
+    dl = np.abs(np.log10(shared[nz]) - np.log10(prod[nz]))
+    assert dl.max() < 1e-5
+
+
+def test_streaming_kernels_bitexact_tpu(tpu_backend):
+    """HBM-streaming modes on hardware == all-VMEM kernels, bit for bit."""
+    import jax.numpy as jnp
+
+    import mgl_tpu.kernels.pairhmm_pallas as K
+    from mgl_tpu.kernels.sw_pallas import (prepare_inputs_banded,
+                                           sw_pallas_banded)
+    from mgl_tpu.ops.pairhmm import pack_pairs
+
+    rng = np.random.default_rng(2)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    B = 130
+    tl = rng.integers(100, 600, B).astype(np.int32)
+    ql = rng.integers(50, 200, B).astype(np.int32)
+    T, Q = int(tl.max()), int(ql.max())
+    tg = np.zeros((B, T), np.int32)
+    qr = np.zeros((B, Q), np.int32)
+    for b in range(B):
+        tg[b, : tl[b]] = rng.choice(ACGT, tl[b])
+        qr[b, : ql[b]] = rng.choice(ACGT, ql[b])
+    tchar, qpad, tlo, qlo = prepare_inputs_banded(tg, tl, qr, ql)
+    args = [jnp.asarray(x) for x in (tchar, qpad, tlo, qlo)]
+    ez0, btr0 = sw_pallas_banded(*args, 25, -50, 110, 6, indel_init=False,
+                                 with_traceback=True)
+    ez1, btr1 = sw_pallas_banded(*args, 25, -50, 110, 6, indel_init=False,
+                                 with_traceback=True, stream=True)
+    assert np.array_equal(np.asarray(ez0), np.asarray(ez1))
+    assert np.array_equal(np.asarray(btr0), np.asarray(btr1))
+
+    reads, haps, pairs = _random_pairs(B=140, seed=5)
+    batch = pack_pairs(reads, haps, pairs)
+    a = K.prepare_inputs_banded(batch)
+    keys = ("hap", "rchar", "rslen", "haplen", "pmm_u", "pgapm_u", "pmx_u",
+            "pzz_u", "p_my", "p_zz", "dm", "dmm", "u0")
+    ar = [jnp.asarray(a[k]) for k in keys]
+    s0 = np.asarray(K.pairhmm_pallas_banded(*ar))
+    s1 = np.asarray(K.pairhmm_pallas_banded(*ar, stream=True))
+    assert np.array_equal(s0, s1)
+
+
+def test_xfloat_rescue_on_tpu(tpu_backend, pairhmm_golden):
+    """The extended-range rescue tier on hardware: golden rescue rows
+    within 1e-5 log10 of the reference double kernels."""
+    import math
+
+    from mgl_tpu.core.context import MIN_ACCEPTED
+    from mgl_tpu.ops.xfloat import rescue_scores_xf
+    from tests.conftest import as_u8
+
+    rows = [r for r in pairhmm_golden
+            if float.fromhex(r["scalarf"]) < float(MIN_ACCEPTED)]
+    reads = [dict(bases=as_u8(r["read"]), q=np.array(r["q"], np.uint8),
+                  i=np.array(r["i"], np.uint8), d=np.array(r["d"], np.uint8),
+                  c=np.array(r["c"], np.uint8)) for r in rows]
+    haps = [as_u8(r["hap"]) for r in rows]
+    got = rescue_scores_xf(reads, haps, [(k, k) for k in range(len(rows))])
+    for k, r in enumerate(rows):
+        want = float.fromhex(r["avxd"])
+        if want == 0.0:
+            assert got[k] == 0.0, k
+        else:
+            assert abs(math.log10(got[k]) - math.log10(want)) < 1e-5, k
