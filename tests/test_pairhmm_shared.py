@@ -11,7 +11,15 @@ import os
 import numpy as np
 import pytest
 
-os.environ.setdefault("MGL_TPU_PALLAS_INTERPRET", "1")
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _interpret_env(monkeypatch):
+    """Run Pallas under the Mosaic interpreter for THIS module only (a
+    leaked env var would flip later 8-device tests onto the interpret
+    path, which starves the pool on small hosts)."""
+    monkeypatch.setenv("MGL_TPU_PALLAS_INTERPRET", "1")
 
 
 def _gatk_shaped(rng, n_reads=11, n_haps=6, hap_len=160, read_hi=120,

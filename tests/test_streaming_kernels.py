@@ -14,7 +14,15 @@ import os
 import numpy as np
 import pytest
 
-os.environ.setdefault("MGL_TPU_PALLAS_INTERPRET", "1")
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _interpret_env(monkeypatch):
+    """Run Pallas under the Mosaic interpreter for THIS module only (a
+    leaked env var would flip later 8-device tests onto the interpret
+    path, which starves the pool on small hosts)."""
+    monkeypatch.setenv("MGL_TPU_PALLAS_INTERPRET", "1")
 
 
 def test_sw_banded_stream_bitexact():
