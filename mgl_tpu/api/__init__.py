@@ -66,10 +66,11 @@ def _sw_fits_vmem(tlen: int, qlen: int, budget_mb: float = 12.0) -> bool:
     return est <= budget_mb * 1e6
 
 
-def _sw_fits_stream(tlen: int, qlen: int, budget_mb: float = 12.0) -> bool:
+def _sw_fits_stream(tlen: int, qlen: int, budget_mb: float = 14.0) -> bool:
     """Envelope of the HBM-streaming banded kernel: target length drops
     out (band slices stream through a 2-deep VMEM buffer); the carry is
-    query-length bound."""
+    query-length bound.  Budget measured on hardware: a 20k x 5k pair
+    (est. 13.1 MB) compiles and runs inside the 16 MB scoped limit."""
     qr = qlen + 40
     qcp = qlen + 40
     est = (qr + 4 * qcp + 4 * 32 + 256) * 128 * 4

@@ -87,11 +87,11 @@ def compute_haplotype_similarities(
     returns (cols_min, cols_max) over haplotype lengths.
 
     The reference uses position[] to resume each haplotype's DP from a
-    cached column state (compute_prob_avxf.cc:943-967).  The TPU batch
-    design makes per-column resumption unnecessary — every (read, hap)
-    pair rides its own VPU lane — so here the structure instead powers
-    exact-duplicate haplotype deduplication in compute_likelihoods (a full
-    R x H product computes each distinct haplotype once per read).
+    cached column state (compute_prob_avxf.cc:943-967).  Here the same
+    structure drives (a) exact-duplicate haplotype deduplication in
+    compute_likelihoods, and (b) the prefix-sharing shared-hap-set kernel
+    (kernels/pairhmm_pallas.pairhmm_pallas_shared), whose checkpointed
+    wavefront restore is the TPU realization of that column cache.
     """
     n = len(haps)
     positions = np.zeros(n, dtype=np.int64)
@@ -277,7 +277,7 @@ def _pairhmm_fits_vmem(rdlen: int, haplen: int,
 
 
 def _pairhmm_fits_stream(rdlen: int, haplen: int,
-                         budget_mb: float = 12.0) -> bool:
+                         budget_mb: float = 14.0) -> bool:
     """Envelope of the HBM-streaming banded kernel: read length drops out
     (transition planes stream per band); the carry is hap-length bound."""
     hr = haplen + 40
