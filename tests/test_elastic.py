@@ -12,13 +12,20 @@ def test_all_shards_complete_simple():
 
 
 def test_worker_death_redispatch():
+    import threading
+
     died = []
+    dlock = threading.Lock()
 
     def fail(worker, shard_id):
-        # host0 dies the first time it picks up a shard
-        if worker == "host0" and not died:
-            died.append((worker, shard_id))
-            return True
+        # the first worker to pick up any shard dies with it (picking a
+        # fixed worker name is a scheduling flake: on a loaded 1-core
+        # host the other workers can drain the queue before that thread
+        # ever runs)
+        with dlock:
+            if not died:
+                died.append((worker, shard_id))
+                return True
         return False
 
     shards = list(range(16))
