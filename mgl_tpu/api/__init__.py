@@ -133,9 +133,17 @@ class SmithWatermanAligner:
                     import functools as _ft
 
                     backend = _ft.partial(align_batch_banded, stream=True)
+                elif impl == "pallas":
+                    # very long queries: the inter-band carry and query
+                    # planes ALSO stream through windowed VMEM
+                    # (stream_carry) — target, carry, and traceback all
+                    # live in HBM, so no dimension has a VMEM cliff left
+                    from mgl_tpu.kernels.sw_pallas import align_batch_banded
+                    import functools as _ft
+
+                    backend = _ft.partial(align_batch_banded, stream=True,
+                                          stream_carry=True)
                 else:
-                    # beyond the streaming envelope (very long *queries*)
-                    # the XLA scan path takes over
                     backend = sw_ops.align_batch
                 got = backend(
                     [refs[i].tobytes() for i in idxs],

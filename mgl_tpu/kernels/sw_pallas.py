@@ -253,6 +253,7 @@ def _sw_banded_kernel(
     *refs,
     BH: int, NB: int, NT: int, Qcp: int, QR: int, WPB: int,
     indel_init: bool, with_traceback: bool = True, stream: bool = False,
+    stream_carry: bool = False, CW: int = 256,
 ):
     """Banded staggered-wavefront SW with traceback + on-device ScoreMax.
 
@@ -270,6 +271,14 @@ def _sw_banded_kernel(
     (mt_ref, mm_ref, go_ref, ge_ref, tlo_ref, thi_ref,
      tchar_ref, qpad_ref, tlen_ref, qlen_ref) = refs[:10]
     rest = list(refs[10:])
+    if stream_carry:
+        # long-query mode: the inter-band carry planes and the query
+        # plane live in HBM; CW-column windows stream through
+        # double-buffered VMEM (same band-DMA technique as `stream`,
+        # applied to the carry dimension — the reference's O(band x COLS)
+        # state, sw_avx.cpp:37-49, with COLS itself windowed)
+        cr_win, cw_win, qp_win, cr_sem, cw_sem, qp_sem = rest[-6:]
+        rest = rest[:-6]
     if with_traceback:
         # outs: ez, btr; scratch: carry (2,2,Qcp,L): packed A / H
         ez_ref, btr_ref, carry_ref, pack_sl, dma_sem = rest[:5]
@@ -307,20 +316,72 @@ def _sw_banded_kernel(
     qlen_row = qlen_ref[0:1, :]
     TRASH = Qcp - 1
 
-    def border_cols():
-        # H(0, c) for all carry columns c (row-0 boundary, sw.cpp:29-40)
-        c = jax.lax.broadcasted_iota(jnp.int32, (Qcp, LANES), 0)
-        if indel_init:
-            return jnp.where(c >= 1, -w_open - (c - 1) * w_ext, 0)
-        return c * 0
+    if stream_carry:
+        Qcph = carry_ref.shape[2]
+        n_ck = Qcph // CW
+        kr_max = (NT + 1) // CW          # last carry chunk any read touches
+        kq_max = NT // CW                # last qpad chunk any read touches
+        kw_last = max(NT - BH + 1, 1) // CW   # last carry chunk written
 
-    bc = border_cols()
-    # A rides with its extend bit packed in the LSB (scores are far from
-    # +-2^30, so the shift is lossless); bit 0 = open-wins at row 0
-    a0 = ((bc - w_open) << 1) if with_traceback else (bc - w_open)
-    carry_ref[0:1, 0:1] = a0[None, None]               # A(0, c)
-    carry_ref[0:1, 1:2] = bc[None, None]               # H(0, c)
-    carry_ref[1:2] = jnp.zeros((1, 2, Qcp, LANES), jnp.int32)
+        def _cr_dma(k, rd):
+            return pltpu.make_async_copy(
+                carry_ref.at[pl.ds(rd, 1), :, pl.ds(k * CW, CW), :],
+                cr_win.at[pl.ds(k % 2, 1)],
+                cr_sem.at[k % 2],
+            )
+
+        def _cw_dma(k, wr, slot):
+            return pltpu.make_async_copy(
+                cw_win.at[pl.ds(slot, 1), :, pl.ds(0, CW)],
+                carry_ref.at[pl.ds(wr, 1), :, pl.ds(k * CW, CW), :],
+                cw_sem.at[slot],
+            )
+
+        def _qp_dma(k):
+            return pltpu.make_async_copy(
+                qpad_ref.at[pl.ds(k * CW, CW), pl.ds(tile * LANES, LANES)],
+                qp_win.at[k % 2],
+                qp_sem.at[k % 2],
+            )
+
+        # pre-fill HBM carry buffer 0 with the row-0 boundary planes
+        # (H(0, c) per sw.cpp:29-40; A with its extend bit in the LSB) so
+        # the band loop is uniform — band 0 reads them like any carry-in
+        ci = jax.lax.broadcasted_iota(jnp.int32, (CW, LANES), 0)
+
+        def _init_ck(k, _):
+            c = ci + k * CW
+            if indel_init:
+                bcv = jnp.where(c >= 1, -w_open - (c - 1) * w_ext, 0)
+            else:
+                bcv = c * 0
+            a0v = ((bcv - w_open) << 1) if with_traceback else (bcv - w_open)
+            cw_win[0:1, 0:1, pl.ds(0, CW)] = a0v[None, None]
+            cw_win[0:1, 1:2, pl.ds(0, CW)] = bcv[None, None]
+            cp = _cw_dma(k, 0, 0)
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_ck, _init_ck, 0)
+        # buffer 1 is left uninitialized: band 0 writes every column a
+        # later band ever reads live values from (columns past the last
+        # write feed only cells beyond qlen, which sampling masks out)
+    else:
+        def border_cols():
+            # H(0, c) for all carry columns c (row-0 boundary, sw.cpp:29-40)
+            c = jax.lax.broadcasted_iota(jnp.int32, (Qcp, LANES), 0)
+            if indel_init:
+                return jnp.where(c >= 1, -w_open - (c - 1) * w_ext, 0)
+            return c * 0
+
+        bc = border_cols()
+        # A rides with its extend bit packed in the LSB (scores are far from
+        # +-2^30, so the shift is lossless); bit 0 = open-wins at row 0
+        a0 = ((bc - w_open) << 1) if with_traceback else (bc - w_open)
+        carry_ref[0:1, 0:1] = a0[None, None]               # A(0, c)
+        carry_ref[0:1, 1:2] = bc[None, None]               # H(0, c)
+        carry_ref[1:2] = jnp.zeros((1, 2, Qcp, LANES), jnp.int32)
 
     def band(b, sm_carry):
         rd = b % 2
@@ -335,6 +396,17 @@ def _sw_banded_kernel(
             tch = tch_buf[pl.ds(rd, 1)][0]
         else:
             tch = tchar_ref[pl.ds(b * BH, BH)]
+        if stream_carry:
+            # per-band window resets: carry reads restart at column 1 and
+            # qpad reads at row 0 every band
+            _cr_dma(0, rd).start()
+            if kr_max >= 1:
+                _cr_dma(1, rd).start()
+            _qp_dma(0).start()
+            if kq_max >= 1:
+                _qp_dma(1).start()
+            _cr_dma(0, rd).wait()
+            _qp_dma(0).wait()
         row_abs = row + b * BH + 1
         zero = jnp.minimum(tch, 0)       # data-dependent zero (layout anchor)
         if indel_init:
@@ -346,6 +418,9 @@ def _sw_banded_kernel(
         in_band_lr = (s_star >= 0) & (s_star < BH)
 
         def cread(plane, idx):
+            if stream_carry:
+                return cr_win[pl.ds((idx // CW) % 2, 1), pl.ds(plane, 1),
+                              pl.ds(idx % CW, 1)][0, 0]
             return carry_ref[pl.ds(rd, 1), pl.ds(plane, 1),
                              pl.ds(idx, 1)][0, 0]
 
@@ -362,7 +437,10 @@ def _sw_banded_kernel(
         a_p = jnp.where(row0, cread(0, 1), a_fill)
         h_sh_p = jnp.where(row0, cread(1, 1), br_up)
         h_sh_pp = jnp.where(row0, zero + h00, br_up)
-        qd = jnp.where(row0, qpad_ref[0:1, :], zero)
+        if stream_carry:
+            qd = jnp.where(row0, qp_win[pl.ds(0, 1), 0:1, :][0], zero)
+        else:
+            qd = jnp.where(row0, qpad_ref[0:1, :], zero)
         word0 = zero.astype(jnp.uint32)
 
         def step(t, carry, *, sample: bool, ramp: bool):
@@ -470,15 +548,70 @@ def _sw_banded_kernel(
             # rolled streams + inter-band carry I/O
             a_sh = pltpu.roll(a_cur, 1, 0)
             h_sh = pltpu.roll(h_cur, 1, 0)
-            st = t - BH + 2
-            st = jnp.where(st >= 1, st, TRASH)
-            carry_ref[pl.ds(wr, 1), 0:1, pl.ds(st, 1)] = a_sh[0:1][None, None]
-            carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = h_sh[0:1][None, None]
-            ld = jnp.minimum(t + 2, Qcp - 1)
-            a_sh = jnp.where(row0, cread(0, ld), a_sh)
-            h_sh = jnp.where(row0, cread(1, ld), h_sh)
+            st0 = t - BH + 2
+            if stream_carry:
+                # windowed carry write: row st0 lands in chunk kw of the
+                # write window; a full (or final-partial) chunk flushes to
+                # HBM by async DMA.  Pre-wavefront steps (st0 < 1) write
+                # the window's trash row (index CW).
+                valid_w = st0 >= 1
+                kw = jnp.maximum(st0, 0) // CW
+                slot_w = kw % 2
+                stw = jnp.where(valid_w, st0 - kw * CW, CW)
 
-            qrow = qpad_ref[pl.ds(jnp.minimum(t + 1, QR - 1), 1), :]
+                @pl.when(valid_w & (st0 == kw * CW) & (kw >= 2))
+                def _gate_w():
+                    # entering chunk kw: its slot's previous DMA (chunk
+                    # kw-2) must have drained before we overwrite it
+                    _cw_dma(kw - 2, wr, slot_w).wait()
+
+                cw_win[pl.ds(slot_w, 1), 0:1,
+                       pl.ds(stw, 1)] = a_sh[0:1][None, None]
+                cw_win[pl.ds(slot_w, 1), 1:2,
+                       pl.ds(stw, 1)] = h_sh[0:1][None, None]
+
+                @pl.when(valid_w & ((st0 - kw * CW == CW - 1)
+                                    | (t == NT - 1)))
+                def _flush_w():
+                    _cw_dma(kw, wr, slot_w).start()
+
+                ld = jnp.minimum(t + 2, Qcp - 1)
+                kr = ld // CW
+
+                @pl.when(ld % CW == 0)
+                def _gate_r():
+                    _cr_dma(kr, rd).wait()
+
+                @pl.when((ld % CW == 0) & (kr + 1 <= kr_max))
+                def _pref_r():
+                    _cr_dma(kr + 1, rd).start()
+
+                a_sh = jnp.where(row0, cread(0, ld), a_sh)
+                h_sh = jnp.where(row0, cread(1, ld), h_sh)
+
+                tq = t + 1
+                kq = tq // CW
+
+                @pl.when(tq % CW == 0)
+                def _gate_q():
+                    _qp_dma(kq).wait()
+
+                @pl.when((tq % CW == 0) & (kq + 1 <= kq_max))
+                def _pref_q():
+                    _qp_dma(kq + 1).start()
+
+                qrow = qp_win[pl.ds(kq % 2, 1), pl.ds(tq - kq * CW, 1), :][0]
+            else:
+                st = jnp.where(st0 >= 1, st0, TRASH)
+                carry_ref[pl.ds(wr, 1), 0:1,
+                          pl.ds(st, 1)] = a_sh[0:1][None, None]
+                carry_ref[pl.ds(wr, 1), 1:2,
+                          pl.ds(st, 1)] = h_sh[0:1][None, None]
+                ld = jnp.minimum(t + 2, Qcp - 1)
+                a_sh = jnp.where(row0, cread(0, ld), a_sh)
+                h_sh = jnp.where(row0, cread(1, ld), h_sh)
+
+                qrow = qpad_ref[pl.ds(jnp.minimum(t + 1, QR - 1), 1), :]
             qd = jnp.where(row0, qrow, pltpu.roll(qd, 1, 0))
 
             return (h_cur, f_cur, a_sh, h_sh, h_sh_p, qd, word_acc,
@@ -506,6 +639,13 @@ def _sw_banded_kernel(
             carry = jax.lax.fori_loop(
                 0, NT, functools.partial(step, sample=True, ramp=True),
                 carry)
+        if stream_carry:
+            # drain this band's last two write flushes (earlier chunks
+            # were gated in-loop at chunk entry) so the next band's reads
+            # of this buffer observe completed HBM state
+            _cw_dma(kw_last, wr, kw_last % 2).wait()
+            if kw_last >= 1:
+                _cw_dma(kw_last - 1, wr, (kw_last - 1) % 2).wait()
         return carry[-5:]
 
     one = jnp.ones((1, LANES), jnp.int32)
@@ -779,7 +919,8 @@ def sw_pallas_forward(
 
 @functools.partial(jax.jit,
                    static_argnames=("indel_init", "band", "with_traceback",
-                                    "interpret", "stream"))
+                                    "interpret", "stream", "stream_carry",
+                                    "carry_window"))
 def sw_pallas_banded(
     tchar_b,  # (Rb, Bp) int32 target chars (row k = matrix row k+1)
     qpad,     # (QR, Bp) int32 query chars (row t = query base t), QR = Q+BH
@@ -792,6 +933,8 @@ def sw_pallas_banded(
     with_traceback: bool = True,
     interpret: bool = False,
     stream: bool = False,
+    stream_carry: bool = False,
+    carry_window: int = 256,
 ):
     """Banded SW forward with traceback.  Returns (ez, btr):
       ez:  (6, Bp) int32 — mqe, mqe_t, max, max_t, max_q, seg_length
@@ -829,13 +972,30 @@ def sw_pallas_banded(
     tlo = jnp.min(lane_lo.reshape(NB, n_tiles, LANES), axis=2)
     thi = jnp.max(lane_hi.reshape(NB, n_tiles, LANES), axis=2)
 
+    CW = carry_window
+    if stream_carry and qpad.shape[0] % CW:
+        # qpad rows pad up to the DMA chunk size (chunk k spans rows
+        # [k*CW, (k+1)*CW); reads never pass NT <= QR-1, pad is dead)
+        qpad = jnp.pad(qpad, ((0, _round_up(QR, CW) - QR), (0, 0)))
+
     kernel = functools.partial(
         _sw_banded_kernel, BH=BH, NB=NB, NT=NT, Qcp=Qcp, QR=QR, WPB=WPB,
-        indel_init=indel_init, with_traceback=with_traceback, stream=stream)
+        indel_init=indel_init, with_traceback=with_traceback, stream=stream,
+        stream_carry=stream_carry, CW=CW)
     col = lambda i: (0, i)
     scalar = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     sm = pl.BlockSpec((NB, n_tiles), lambda i: (0, 0),
                       memory_space=pltpu.SMEM)
+    # In stream_carry (long-query) mode the inter-band carry lives in HBM
+    # and CW-column windows stream through VMEM (no query-length cliff).
+    # Mosaic only allows vmem/smem/semaphore *scratch*, so the HBM buffer
+    # rides as an extra pl.ANY output (discarded by the caller) — placed
+    # right after ez/btr so the kernel's flattened ref order is identical
+    # to the carry-as-first-scratch layout of the VMEM mode.
+    if stream_carry:
+        Qcph = _round_up(Qcp, CW)
+        carry_spec = pl.BlockSpec(memory_space=pl.ANY)
+        carry_shape = jax.ShapeDtypeStruct((2, 2, Qcph, LANES), jnp.int32)
     if with_traceback:
         out_specs = [
             pl.BlockSpec((6, LANES), col, memory_space=pltpu.VMEM),
@@ -846,14 +1006,24 @@ def sw_pallas_banded(
             jax.ShapeDtypeStruct((G, BH, Bp), jnp.uint32),
         ]
         scratch_shapes = [
-            pltpu.VMEM((2, 2, Qcp, LANES), jnp.int32),
             pltpu.VMEM((2, BH, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        if stream_carry:
+            out_specs.append(carry_spec)
+            out_shape.append(carry_shape)
+        else:
+            scratch_shapes.insert(0, pltpu.VMEM((2, 2, Qcp, LANES),
+                                                jnp.int32))
     else:
         out_specs = [pl.BlockSpec((6, LANES), col, memory_space=pltpu.VMEM)]
         out_shape = [jax.ShapeDtypeStruct((6, Bp), jnp.int32)]
-        scratch_shapes = [pltpu.VMEM((2, 2, Qcp, LANES), jnp.int32)]
+        if stream_carry:
+            out_specs.append(carry_spec)
+            out_shape.append(carry_shape)
+            scratch_shapes = []
+        else:
+            scratch_shapes = [pltpu.VMEM((2, 2, Qcp, LANES), jnp.int32)]
     if stream:
         # long-target mode: whole tchar stays in HBM; the kernel streams
         # (BH, LANES) band slices through double-buffered VMEM scratch
@@ -864,13 +1034,25 @@ def sw_pallas_banded(
         ]
     else:
         tchar_spec = pl.BlockSpec((Rb, LANES), col, memory_space=pltpu.VMEM)
+    if stream_carry:
+        qpad_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch_shapes = scratch_shapes + [
+            pltpu.VMEM((2, 2, CW, LANES), jnp.int32),      # carry read win
+            pltpu.VMEM((2, 2, CW + 8, LANES), jnp.int32),  # carry write win
+            pltpu.VMEM((2, CW, LANES), jnp.int32),         # qpad window
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        qpad_spec = pl.BlockSpec((QR, LANES), col, memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
             scalar, scalar, scalar, scalar, sm, sm,
             tchar_spec,
-            pl.BlockSpec((QR, LANES), col, memory_space=pltpu.VMEM),
+            qpad_spec,
             pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
         ],
@@ -917,6 +1099,7 @@ def align_batch_banded(
     strategy,
     band: int = 32,
     stream: bool = False,
+    stream_carry: bool = False,
 ) -> list[tuple[str, int]]:
     """align_batch through the banded kernel (band-major nibble decode)."""
     from mgl_tpu.core.params import OverhangStrategy
@@ -939,7 +1122,7 @@ def align_batch_banded(
         jnp.asarray(tchar), jnp.asarray(qp), jnp.asarray(tl), jnp.asarray(ql),
         params.match, params.mismatch, params.gap_open, params.gap_extend,
         indel_init=indel_init, band=band, interpret=env_interpret(),
-        stream=stream)
+        stream=stream, stream_carry=stream_carry)
     ez_np = np.asarray(ez_dev)[:, :B].astype(np.int64)
     ez = dict(zip(("mqe", "mqe_t", "max", "max_t", "max_q", "seg_length"),
                   ez_np))

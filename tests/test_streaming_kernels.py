@@ -56,6 +56,84 @@ def test_sw_banded_stream_bitexact():
     assert np.array_equal(np.asarray(ez0), np.asarray(ez2))
 
 
+def test_sw_banded_stream_carry_bitexact():
+    """stream_carry (long-query mode: carry + query planes windowed
+    through VMEM from HBM) == the all-VMEM kernel, alone and combined
+    with stream.  Small carry_window forces many chunk crossings."""
+    import jax.numpy as jnp
+
+    from mgl_tpu.kernels.sw_pallas import (prepare_inputs_banded,
+                                           sw_pallas_banded)
+
+    rng = np.random.default_rng(17)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    B = 8
+    tl = rng.integers(100, 300, B).astype(np.int32)
+    ql = rng.integers(60, 200, B).astype(np.int32)
+    T, Q = int(tl.max()), int(ql.max())
+    tg = np.zeros((B, T), np.int32)
+    qr = np.zeros((B, Q), np.int32)
+    for b in range(B):
+        tg[b, : tl[b]] = rng.choice(ACGT, tl[b])
+        qr[b, : ql[b]] = rng.choice(ACGT, ql[b])
+    tchar, qpad, tlo, qlo = prepare_inputs_banded(tg, tl, qr, ql)
+    args = [jnp.asarray(x) for x in (tchar, qpad, tlo, qlo)]
+    kw = dict(indel_init=False, interpret=True)
+    ez0, _ = sw_pallas_banded(*args, 25, -50, 110, 6,
+                              with_traceback=True, **kw)
+    ez1, _ = sw_pallas_banded(*args, 25, -50, 110, 6, with_traceback=True,
+                              stream_carry=True, carry_window=64, **kw)
+    ez2, = (sw_pallas_banded(*args, 25, -50, 110, 6, with_traceback=False,
+                             stream=True, stream_carry=True,
+                             carry_window=64, **kw),)
+    assert np.array_equal(np.asarray(ez0), np.asarray(ez1))
+    assert np.array_equal(np.asarray(ez0), np.asarray(ez2[0]))
+    # raw traceback words may differ in dead (pre-wavefront / beyond-qlen)
+    # cells, so CIGAR parity is asserted at the decode level
+    from mgl_tpu.core.params import OverhangStrategy, SWParameters
+    from mgl_tpu.kernels.sw_pallas import align_batch_banded
+
+    params = SWParameters(25, -50, 110, 6)
+    refs = [tg[b, : tl[b]].astype(np.uint8).tobytes() for b in range(B)]
+    alts = [qr[b, : ql[b]].astype(np.uint8).tobytes() for b in range(B)]
+    base = align_batch_banded(refs, alts, params, OverhangStrategy.SOFTCLIP)
+    got = align_batch_banded(refs, alts, params, OverhangStrategy.SOFTCLIP,
+                             stream=True, stream_carry=True)
+    assert got == base
+
+
+def test_sw_engine_dispatch_stream_carry(monkeypatch):
+    """Buckets beyond both VMEM and streaming envelopes route to the
+    stream_carry pallas tier (not XLA), with identical CIGARs."""
+    import mgl_tpu.api as api
+    import mgl_tpu.kernels.sw_pallas as SWP
+    from mgl_tpu.core.params import OverhangStrategy, SWParameters
+
+    rng = np.random.default_rng(19)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    params = SWParameters(25, -50, 110, 6)
+    refs = [bytes(rng.choice(ACGT, 180)) for _ in range(3)]
+    alts = [bytes(rng.choice(ACGT, 120)) for _ in range(3)]
+
+    monkeypatch.setattr(api, "_sw_fits_vmem", lambda *a, **k: False)
+    monkeypatch.setattr(api, "_sw_fits_stream", lambda *a, **k: False)
+    seen = {}
+    real = SWP.align_batch_banded
+
+    def spy(*a, **k):
+        seen.update(k)
+        return real(*a, **k)
+
+    monkeypatch.setattr(SWP, "align_batch_banded", spy)
+    got = api.SmithWatermanAligner(impl="pallas").align_batch(
+        refs, alts, params, OverhangStrategy.SOFTCLIP)
+    assert seen.get("stream") is True and seen.get("stream_carry") is True
+    want = api.SmithWatermanAligner(impl="xla").align_batch(
+        refs, alts, params, OverhangStrategy.SOFTCLIP)
+    assert [(r.cigar, r.offset) for r in got] == \
+        [(r.cigar, r.offset) for r in want]
+
+
 def test_pairhmm_banded_stream_bitexact():
     import jax.numpy as jnp
 
@@ -162,5 +240,44 @@ def test_sw_long_target_stream_tpu():
         jnp.asarray(ql), 25, -50, 110, 6, indel_init=False,
         with_traceback=False, stream=True)
     got_best = int(np.asarray(ez)[2, 0])
+    _, ezs = calculate_matrix(tgt, q, params, OverhangStrategy.SOFTCLIP)
+    assert got_best == int(ezs["max"])
+
+
+@pytest.mark.tpu
+def test_sw_long_query_stream_carry_tpu():
+    """12 kbp x 6.5 kbp — a *query* beyond the carry-in-VMEM streaming
+    envelope — through stream+stream_carry on hardware, score anchored to
+    the scalar oracle.  CIGAR parity for this mode is asserted at small
+    shapes (test_sw_banded_stream_carry_bitexact); score-only here keeps
+    the remote compile inside the dev pool's limits."""
+    if os.environ.get("MGL_TPU_TEST_TPU") != "1":
+        pytest.skip("TPU hardware tests disabled")
+    import jax.numpy as jnp
+
+    from mgl_tpu.api import _sw_fits_stream, _sw_fits_vmem
+    from mgl_tpu.core.params import OverhangStrategy, SWParameters
+    from mgl_tpu.kernels.sw_pallas import (prepare_inputs_banded,
+                                           sw_pallas_banded)
+    from mgl_tpu.ref_impl.sw_scalar import calculate_matrix
+
+    rng = np.random.default_rng(23)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    params = SWParameters(25, -50, 110, 6)
+
+    tgt = rng.choice(ACGT, 12000)
+    q = tgt[2500:9000].copy()
+    mut = rng.random(len(q)) < 0.01
+    q[mut] = rng.choice(ACGT, int(mut.sum()))
+    assert not _sw_fits_vmem(len(tgt), len(q))
+    assert not _sw_fits_stream(len(tgt), len(q))
+    tchar, qpad, tl, ql = prepare_inputs_banded(
+        tgt[None, :].astype(np.int32), np.array([len(tgt)], np.int32),
+        q[None, :].astype(np.int32), np.array([len(q)], np.int32))
+    ez, = (sw_pallas_banded(
+        jnp.asarray(tchar), jnp.asarray(qpad), jnp.asarray(tl),
+        jnp.asarray(ql), 25, -50, 110, 6, indel_init=False,
+        with_traceback=False, stream=True, stream_carry=True),)
+    got_best = int(np.asarray(ez[0])[2, 0])
     _, ezs = calculate_matrix(tgt, q, params, OverhangStrategy.SOFTCLIP)
     assert got_best == int(ezs["max"])
