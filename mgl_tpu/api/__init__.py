@@ -120,6 +120,9 @@ class SmithWatermanAligner:
                                max_batch=self.max_batch)
         METRICS.count("sw.pairs", len(refs))
         METRICS.count("sw.buckets", len(buckets))
+        from mgl_tpu.utils.logging import get_logger
+
+        log = get_logger("engine")
         with METRICS.timer("sw.align_batch"):
             for (pt, pq), idxs in buckets:
                 if impl == "pallas" and _sw_fits_vmem(pt, pq):
@@ -145,6 +148,9 @@ class SmithWatermanAligner:
                                           stream_carry=True)
                 else:
                     backend = sw_ops.align_batch
+                log.debug("sw bucket (%d, %d) x%d -> %s", pt, pq, len(idxs),
+                          getattr(backend, "func", backend).__name__
+                          if impl == "pallas" else "xla")
                 got = backend(
                     [refs[i].tobytes() for i in idxs],
                     [alts[i].tobytes() for i in idxs],

@@ -175,6 +175,7 @@ def pairhmm_pallas_forward(
 def _pairhmm_banded_kernel(
     *refs,
     BH: int, NB: int, NT: int, Hcp: int, HR: int, stream: bool = False,
+    stream_carry: bool = False, CW: int = 256,
 ):
     """Banded staggered wavefront (the TPU re-derivation of the reference's
     band sweep, compute_prob_avxf.cc:382-607, with pairs in lanes instead of
@@ -204,6 +205,15 @@ def _pairhmm_banded_kernel(
     read length (the reference's O(band x COLS) streaming,
     compute_prob_avxf.cc:663-673).
     """
+    refs = list(refs)
+    if stream_carry:
+        # long-hap mode: the inter-band (U, W) carry planes and the hap
+        # character plane live in HBM; CW-column windows stream through
+        # double-buffered VMEM (same technique as `stream`, applied to
+        # the carry dimension — the reference's O(band x COLS) state,
+        # compute_prob_avxf.cc:663-673, with COLS itself windowed)
+        cr_win, cw_win, hp_win, cr_sem, cw_sem, hp_sem = refs[-6:]
+        refs = refs[:-6]
     if stream:
         (hap_ref, rchar_ref, rslen_ref, haplen_ref, tlo_ref, thi_ref,
          planes_ref, u0_ref, score_ref, carry_ref,
@@ -234,12 +244,61 @@ def _pairhmm_banded_kernel(
     hl_row = haplen_ref[0:1, :]
     u0 = u0_ref[0:1, :]                  # yInit * pGapM[1]
     TRASH = Hcp - 1
+    tile = pl.program_id(0)
 
-    # prefill band-0 read buffer: U = u0, W = 0 (row-0 boundary);
-    # write buffer: zeros (column-0 boundary for rows >= 1)
-    carry_ref[0:1, 0:1] = jnp.broadcast_to(u0, (Hcp, LANES))[None, None]
-    carry_ref[0:1, 1:2] = jnp.zeros((1, 1, Hcp, LANES), jnp.float32)
-    carry_ref[1:2] = jnp.zeros((1, 2, Hcp, LANES), jnp.float32)
+    if stream_carry:
+        Hcph = carry_ref.shape[2]
+        n_ck = Hcph // CW
+        kr_max = (NT + 1) // CW          # last carry chunk any read touches
+        kh_max = NT // CW                # last hap chunk any read touches
+        kw_last = max(NT - BH + 1, 1) // CW   # last carry chunk written
+
+        def _cr_dma(k, rd):
+            return pltpu.make_async_copy(
+                carry_ref.at[pl.ds(rd, 1), :, pl.ds(k * CW, CW), :],
+                cr_win.at[pl.ds(k % 2, 1)],
+                cr_sem.at[k % 2],
+            )
+
+        def _cw_dma(k, wr, slot):
+            return pltpu.make_async_copy(
+                cw_win.at[pl.ds(slot, 1), :, pl.ds(0, CW)],
+                carry_ref.at[pl.ds(wr, 1), :, pl.ds(k * CW, CW), :],
+                cw_sem.at[slot],
+            )
+
+        def _hp_dma(k):
+            return pltpu.make_async_copy(
+                hap_ref.at[pl.ds(k * CW, CW), pl.ds(tile * LANES, LANES)],
+                hp_win.at[k % 2],
+                hp_sem.at[k % 2],
+            )
+
+        # prefill both HBM carry buffers chunk by chunk: buffer 0 is the
+        # row-0 boundary (U = u0, W = 0); buffer 1 zeros so unwritten
+        # columns never inject Inf/NaN garbage into the f32 wavefront
+        zb = jnp.broadcast_to(u0 * 0.0, (CW, LANES))
+
+        def _init_ck(k, _):
+            cw_win[0:1, 0:1, pl.ds(0, CW)] = \
+                jnp.broadcast_to(u0, (CW, LANES))[None, None]
+            cw_win[0:1, 1:2, pl.ds(0, CW)] = zb[None, None]
+            cp = _cw_dma(k, 0, 0)
+            cp.start()
+            cp.wait()
+            cw_win[0:1, 0:1, pl.ds(0, CW)] = zb[None, None]
+            cp = _cw_dma(k, 1, 0)
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_ck, _init_ck, 0)
+    else:
+        # prefill band-0 read buffer: U = u0, W = 0 (row-0 boundary);
+        # write buffer: zeros (column-0 boundary for rows >= 1)
+        carry_ref[0:1, 0:1] = jnp.broadcast_to(u0, (Hcp, LANES))[None, None]
+        carry_ref[0:1, 1:2] = jnp.zeros((1, 1, Hcp, LANES), jnp.float32)
+        carry_ref[1:2] = jnp.zeros((1, 2, Hcp, LANES), jnp.float32)
 
     def band(b, acc):
         if stream:
@@ -266,8 +325,22 @@ def _pairhmm_banded_kernel(
         mask_last = (row + b * BH + 1) == rsl_row
         rd = b % 2
         wr = (b + 1) % 2
+        if stream_carry:
+            # per-band window resets: carry reads restart at column 1 and
+            # hap reads at row 0 every band
+            _cr_dma(0, rd).start()
+            if kr_max >= 1:
+                _cr_dma(1, rd).start()
+            _hp_dma(0).start()
+            if kh_max >= 1:
+                _hp_dma(1).start()
+            _cr_dma(0, rd).wait()
+            _hp_dma(0).wait()
 
         def cread(plane, idx):
+            if stream_carry:
+                return cr_win[pl.ds((idx // CW) % 2, 1), pl.ds(plane, 1),
+                              pl.ds(idx % CW, 1)][0, 0]
             return carry_ref[pl.ds(rd, 1), pl.ds(plane, 1),
                              pl.ds(idx, 1)][0, 0]
 
@@ -277,7 +350,10 @@ def _pairhmm_banded_kernel(
         u_p = jnp.where(row0, cread(0, 1), zero)
         w_p = jnp.where(row0, cread(1, 1), zero)
         m_un, y_un = zero, zero
-        hd = jnp.where(row0, hap_ref[0:1, :], 0)
+        if stream_carry:
+            hd = jnp.where(row0, hp_win[pl.ds(0, 1), 0:1, :][0], 0)
+        else:
+            hd = jnp.where(row0, hap_ref[0:1, :], 0)
 
         def step(t, carry, *, sample: bool = True):
             m_un, y_un, w_p, u_p, u_pp, hd, acc = carry
@@ -303,17 +379,72 @@ def _pairhmm_banded_kernel(
             w_sh = pltpu.roll(w, 1, 0)
 
             # band's bottom row (wrapped into sublane 0) -> carry out
-            st = t - BH + 2
-            st = jnp.where(st >= 1, st, TRASH)
-            carry_ref[pl.ds(wr, 1), 0:1, pl.ds(st, 1)] = u_sh[0:1][None, None]
-            carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = w_sh[0:1][None, None]
+            st0 = t - BH + 2
+            if stream_carry:
+                # windowed carry write: row st0 lands in chunk kw of the
+                # write window; a full (or final-partial) chunk flushes
+                # to HBM by async DMA.  Pre-wavefront steps (st0 < 1)
+                # write the window's trash row (index CW).
+                valid_w = st0 >= 1
+                kw = jnp.maximum(st0, 0) // CW
+                slot_w = kw % 2
+                stw = jnp.where(valid_w, st0 - kw * CW, CW)
 
-            # carry in: the row above the band at column t+2
-            ld = jnp.minimum(t + 2, Hcp - 1)
-            u_sh = jnp.where(row0, cread(0, ld), u_sh)
-            w_sh = jnp.where(row0, cread(1, ld), w_sh)
+                @pl.when(valid_w & (st0 == kw * CW) & (kw >= 2))
+                def _gate_w():
+                    # entering chunk kw: its slot's previous DMA (chunk
+                    # kw-2) must have drained before we overwrite it
+                    _cw_dma(kw - 2, wr, slot_w).wait()
 
-            hrow = hap_ref[pl.ds(jnp.minimum(t + 1, HR - 1), 1), :]
+                cw_win[pl.ds(slot_w, 1), 0:1,
+                       pl.ds(stw, 1)] = u_sh[0:1][None, None]
+                cw_win[pl.ds(slot_w, 1), 1:2,
+                       pl.ds(stw, 1)] = w_sh[0:1][None, None]
+
+                @pl.when(valid_w & ((st0 - kw * CW == CW - 1)
+                                    | (t == NT - 1)))
+                def _flush_w():
+                    _cw_dma(kw, wr, slot_w).start()
+
+                ld = jnp.minimum(t + 2, Hcp - 1)
+                kr = ld // CW
+
+                @pl.when(ld % CW == 0)
+                def _gate_r():
+                    _cr_dma(kr, rd).wait()
+
+                @pl.when((ld % CW == 0) & (kr + 1 <= kr_max))
+                def _pref_r():
+                    _cr_dma(kr + 1, rd).start()
+
+                u_sh = jnp.where(row0, cread(0, ld), u_sh)
+                w_sh = jnp.where(row0, cread(1, ld), w_sh)
+
+                th = t + 1
+                kh = th // CW
+
+                @pl.when(th % CW == 0)
+                def _gate_h():
+                    _hp_dma(kh).wait()
+
+                @pl.when((th % CW == 0) & (kh + 1 <= kh_max))
+                def _pref_h():
+                    _hp_dma(kh + 1).start()
+
+                hrow = hp_win[pl.ds(kh % 2, 1), pl.ds(th - kh * CW, 1), :][0]
+            else:
+                st = jnp.where(st0 >= 1, st0, TRASH)
+                carry_ref[pl.ds(wr, 1), 0:1,
+                          pl.ds(st, 1)] = u_sh[0:1][None, None]
+                carry_ref[pl.ds(wr, 1), 1:2,
+                          pl.ds(st, 1)] = w_sh[0:1][None, None]
+
+                # carry in: the row above the band at column t+2
+                ld = jnp.minimum(t + 2, Hcp - 1)
+                u_sh = jnp.where(row0, cread(0, ld), u_sh)
+                w_sh = jnp.where(row0, cread(1, ld), w_sh)
+
+                hrow = hap_ref[pl.ds(jnp.minimum(t + 1, HR - 1), 1), :]
             hd = jnp.where(row0, hrow, pltpu.roll(hd, 1, 0))
 
             return (m_cur, y_cur, w_sh, u_sh, u_p, hd, acc)
@@ -328,6 +459,13 @@ def _pairhmm_banded_kernel(
         carry = jax.lax.fori_loop(0, t_lo, nos, carry)
         carry = jax.lax.fori_loop(t_lo, t_hi, step, carry)
         carry = jax.lax.fori_loop(t_hi, NT, nos, carry)
+        if stream_carry:
+            # drain this band's last two write flushes (earlier chunks
+            # were gated in-loop at chunk entry) so the next band's reads
+            # of this buffer observe completed HBM state
+            _cw_dma(kw_last, wr, kw_last % 2).wait()
+            if kw_last >= 1:
+                _cw_dma(kw_last - 1, wr, (kw_last - 1) % 2).wait()
         return carry[-1]
 
     acc = jax.lax.fori_loop(0, NB, band,
@@ -335,7 +473,9 @@ def _pairhmm_banded_kernel(
     score_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret", "stream"))
+@functools.partial(jax.jit,
+                   static_argnames=("band", "interpret", "stream",
+                                    "stream_carry", "carry_window"))
 def pairhmm_pallas_banded(
     hap,       # (HR, Bp) int32 one-hot hap chars (row t = hap base t)
     rchar,     # (Rb, Bp) int32 one-hot read chars (row k = read base k+1)
@@ -349,6 +489,8 @@ def pairhmm_pallas_banded(
     band: int = 32,
     interpret: bool = False,
     stream: bool = False,
+    stream_carry: bool = False,
+    carry_window: int = 256,
 ):
     """Banded-wavefront forward.  Returns (1, Bp) f32 scaled scores."""
     Rb, Bp = rchar.shape
@@ -359,10 +501,17 @@ def pairhmm_pallas_banded(
     NT = H + BH - 1
     Hcp = _round_up(H + BH + 4, 8)
 
+    CW = carry_window
+    if stream_carry and HR % CW:
+        # hap rows pad up to the DMA chunk size (chunk k spans rows
+        # [k*CW, (k+1)*CW); reads never pass NT <= HR-1, pad is dead)
+        hap = jnp.pad(hap, ((0, _round_up(HR, CW) - HR), (0, 0)))
+
     n_tiles = Bp // LANES
     grid = (n_tiles,)
     kernel = functools.partial(_pairhmm_banded_kernel, BH=BH, NB=NB, NT=NT,
-                               Hcp=Hcp, HR=HR, stream=stream)
+                               Hcp=Hcp, HR=HR, stream=stream,
+                               stream_carry=stream_carry, CW=CW)
 
     # per-(band, tile) contrib windows: lane's last-row sublane is active
     # for t in [rslen - b*BH - 1, rslen - b*BH - 1 + haplen)
@@ -384,6 +533,32 @@ def pairhmm_pallas_banded(
     sm = pl.BlockSpec((NB, n_tiles), lambda i: (0, 0),
                       memory_space=pltpu.SMEM)
 
+    # In stream_carry (long-hap) mode the inter-band (U, W) carry lives in
+    # HBM and CW-column windows stream through VMEM.  Mosaic only allows
+    # vmem/smem/semaphore *scratch*, so the HBM buffer rides as an extra
+    # pl.ANY output (discarded) placed right after score — the kernel's
+    # flattened ref order matches the carry-as-first-scratch VMEM layout.
+    out_specs = [pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((1, Bp), jnp.float32)]
+    if stream_carry:
+        Hcph = _round_up(Hcp, CW)
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((2, 2, Hcph, LANES), jnp.float32))
+        carry_scratch = []
+        hap_spec = pl.BlockSpec(memory_space=pl.ANY)
+        win_scratch = [
+            pltpu.VMEM((2, 2, CW, LANES), jnp.float32),      # carry read
+            pltpu.VMEM((2, 2, CW + 8, LANES), jnp.float32),  # carry write
+            pltpu.VMEM((2, CW, LANES), jnp.int32),           # hap window
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        carry_scratch = [pltpu.VMEM((2, 2, Hcp, LANES), jnp.float32)]
+        hap_spec = vm((hap.shape[0], LANES))
+        win_scratch = []
     if stream:
         # long-read mode: per-row planes live in HBM (8 f32 planes stacked
         # into one array + one-hot read chars); the kernel streams band
@@ -391,49 +566,46 @@ def pairhmm_pallas_banded(
         # independent of read length
         planes = jnp.stack([pmm_u, pgapm_u, pmx_u, pzz_u,
                             p_my, p_zz, dm, dmm])
-        score = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
-                vm((HR, LANES)), pl.BlockSpec(memory_space=pl.ANY),
+                hap_spec, pl.BlockSpec(memory_space=pl.ANY),
                 vm((1, LANES)), vm((1, LANES)),
                 sm, sm,
                 pl.BlockSpec(memory_space=pl.ANY),
                 vm((1, LANES)),
             ],
-            out_specs=pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((2, 2, Hcp, LANES), jnp.float32),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=carry_scratch + [
                 pltpu.VMEM((2, 8, BH, LANES), jnp.float32),
                 pltpu.VMEM((2, BH, LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-            ],
+            ] + win_scratch,
             interpret=_imode(interpret),
         )(hap, rchar, rslen, haplen, tlo.astype(jnp.int32),
           thi.astype(jnp.int32), planes, u0)
-        return score
-    score = pl.pallas_call(
+        return outs[0]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            vm((HR, LANES)), vm((Rb, LANES)), vm((1, LANES)), vm((1, LANES)),
+            hap_spec, vm((Rb, LANES)), vm((1, LANES)), vm((1, LANES)),
             sm, sm,
             vm((Rb, LANES)), vm((Rb, LANES)), vm((Rb, LANES)), vm((Rb, LANES)),
             vm((Rb, LANES)), vm((Rb, LANES)),
             vm((Rb, LANES)), vm((Rb, LANES)), vm((1, LANES)),
         ],
-        out_specs=pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, Hcp, LANES), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=carry_scratch + win_scratch,
         interpret=_imode(interpret),
     )(hap, rchar, rslen, haplen, tlo.astype(jnp.int32), thi.astype(jnp.int32),
       pmm_u, pgapm_u, pmx_u, pzz_u,
       p_my, p_zz, dm, dmm, u0)
-    return score
+    return outs[0]
 
 
 def _pairhmm_shared_kernel(
@@ -828,11 +1000,12 @@ def prepare_inputs_banded(batch, band: int = 32):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("band", "interpret", "stream"))
+                   static_argnames=("band", "interpret", "stream",
+                                    "stream_carry"))
 def _product_forward(read_planes, rchar, rslen, pgapm1,
                      hap_planes, haplen, y_init,
                      ridx, hidx, *, band: int, interpret: bool = False,
-                     stream: bool = False):
+                     stream: bool = False, stream_carry: bool = False):
     """Device-side product expansion + banded forward.
 
     Per-read transition/emission planes ((Rb, n_reads) f32/int32) and
@@ -850,7 +1023,8 @@ def _product_forward(read_planes, rchar, rslen, pgapm1,
     u0 = yi * pgapm1[:, ridx]
     return pairhmm_pallas_banded(
         hp, rc, rl, hl, rp[0], rp[1], rp[2], rp[3], rp[4], rp[5],
-        rp[6], rp[7], u0, band=band, interpret=interpret, stream=stream)
+        rp[6], rp[7], u0, band=band, interpret=interpret, stream=stream,
+        stream_carry=stream_carry)
 
 
 def pack_reads_for_product(reads: list[dict], band: int = 32,
@@ -924,7 +1098,8 @@ def pack_haps_for_product(haps: list[np.ndarray], band: int = 32):
 def forward_scores_product(reads: list[dict], haps: list[np.ndarray],
                            pair_index: list[tuple[int, int]],
                            band: int = 32,
-                           stream: bool = False) -> np.ndarray:
+                           stream: bool = False,
+                           stream_carry: bool = False) -> np.ndarray:
     """(B,) f32 scaled scores for arbitrary (read, hap) pairs with
     device-side product expansion."""
     import jax.numpy as jnp
@@ -945,7 +1120,7 @@ def forward_scores_product(reads: list[dict], haps: list[np.ndarray],
         jnp.asarray(hp), jnp.asarray(np.maximum(haplen, 1)),
         jnp.asarray(y_init),
         jnp.asarray(ridx), jnp.asarray(hidx), band=band,
-        interpret=env_interpret(), stream=stream)
+        interpret=env_interpret(), stream=stream, stream_carry=stream_carry)
     return np.asarray(score)[0, :B]
 
 

@@ -25,14 +25,20 @@ _tried = False
 
 
 def _build() -> bool:
+    from mgl_tpu.utils.logging import get_logger
+
+    log = get_logger("native")
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
              str(_SRC), "-o", str(_SO), "-pthread"],
             check=True, capture_output=True,
         )
+        log.info("built native helper library at %s", _SO)
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        log.warning("native helper build failed (%s); falling back to "
+                    "pure-Python paths", e)
         return False
 
 
@@ -54,7 +60,10 @@ def get_lib():
             return None
     try:
         lib = ctypes.CDLL(str(so))
-    except OSError:
+    except OSError as e:
+        from mgl_tpu.utils.logging import get_logger
+
+        get_logger("native").warning("could not load %s (%s)", so, e)
         return None
 
     lib.pairhmm_f64_batch.argtypes = [

@@ -508,10 +508,19 @@ def compute_likelihoods(
             sub_pairs = [pair_index[b] for b in sel]
             fits = _pairhmm_fits_vmem(pa, pb)
             streamable = not fits and _pairhmm_fits_stream(pa, pb)
-            if use_pallas and (fits or streamable):
+            from mgl_tpu.utils.logging import get_logger
+
+            get_logger("engine").debug(
+                "pairhmm bucket (%d, %d) x%d -> %s", pa, pb, len(idxs),
+                ("pallas" + ("" if fits else
+                             "+stream" if streamable else
+                             "+stream_carry")) if use_pallas else "xla")
+            if use_pallas:
                 # device-side product expansion: ship per-read/per-hap
                 # planes once, gather per-pair lanes on device; long
-                # reads stream their transition planes HBM->VMEM
+                # reads stream their transition planes HBM->VMEM, and
+                # long *haps* also stream the carry + hap planes
+                # (stream_carry) — no length falls back to XLA
                 from mgl_tpu.kernels.pairhmm_pallas import (
                     forward_scores_product)
 
@@ -522,7 +531,8 @@ def compute_likelihoods(
                 sub = forward_scores_product(
                     [reads[r] for r in ur], [haps[h] for h in uh],
                     [(rmap[ri], hmap[hi]) for ri, hi in sub_pairs],
-                    stream=streamable)
+                    stream=not fits,
+                    stream_carry=not (fits or streamable))
             else:
                 batch = pack_pairs(reads, haps, sub_pairs, pad_to=(pa, pb))
                 sub = forward_scores_xla(batch)

@@ -163,6 +163,78 @@ def test_pairhmm_banded_stream_bitexact():
     assert np.array_equal(s0[0, :12], want)
 
 
+def test_pairhmm_banded_stream_carry_bitexact():
+    """PairHMM stream_carry (long-hap mode: carry + hap planes windowed
+    through VMEM from HBM) == the all-VMEM kernel bit for bit, alone and
+    combined with stream; small carry_window forces chunk crossings."""
+    import jax.numpy as jnp
+
+    import mgl_tpu.kernels.pairhmm_pallas as K
+    from mgl_tpu.ops.pairhmm import forward_scores_xla, pack_pairs
+
+    rng = np.random.default_rng(41)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    reads, haps = [], []
+    for _ in range(12):
+        n = int(rng.integers(8, 120))
+        h = int(rng.integers(10, 200))
+        q = rng.integers(10, 50, n).astype(np.uint8)
+        reads.append(dict(bases=rng.choice(ACGT, n), q=q, i=q, d=q,
+                          c=np.full(n, 10, np.uint8)))
+        haps.append(rng.choice(ACGT, h))
+    batch = pack_pairs(reads, haps, [(k, k) for k in range(12)])
+    a = K.prepare_inputs_banded(batch)
+    keys = ("hap", "rchar", "rslen", "haplen", "pmm_u", "pgapm_u", "pmx_u",
+            "pzz_u", "p_my", "p_zz", "dm", "dmm", "u0")
+    args = [jnp.asarray(a[k]) for k in keys]
+    s0 = np.asarray(K.pairhmm_pallas_banded(*args, interpret=True))
+    s1 = np.asarray(K.pairhmm_pallas_banded(
+        *args, interpret=True, stream_carry=True, carry_window=64))
+    s2 = np.asarray(K.pairhmm_pallas_banded(
+        *args, interpret=True, stream=True, stream_carry=True,
+        carry_window=64))
+    assert np.array_equal(s0, s1)
+    assert np.array_equal(s0, s2)
+    want = forward_scores_xla(batch).astype(np.float32)
+    assert np.array_equal(s0[0, :12], want)
+
+
+def test_pairhmm_engine_dispatch_stream_carry(monkeypatch):
+    """Buckets beyond both PairHMM envelopes route through the
+    stream_carry pallas tier (not XLA) and match the XLA impl."""
+    import mgl_tpu.ops.pairhmm as P
+
+    rng = np.random.default_rng(43)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    hap = rng.choice(ACGT, 150)
+    reads = []
+    for k in range(3):
+        b = hap[5: 5 + 120].copy()
+        mut = rng.random(120) < 0.02
+        b[mut] = rng.choice(ACGT, int(mut.sum()))
+        q = rng.integers(20, 40, 120).astype(np.uint8)
+        reads.append(dict(bases=b, q=q, i=q, d=q,
+                          c=np.full(120, 10, np.uint8)))
+
+    monkeypatch.setattr(P, "_pairhmm_fits_vmem", lambda *a, **k: False)
+    monkeypatch.setattr(P, "_pairhmm_fits_stream", lambda *a, **k: False)
+    monkeypatch.setattr(P, "_shared_product_scores", lambda *a, **k: None)
+    orig = __import__("mgl_tpu.kernels.pairhmm_pallas",
+                      fromlist=["forward_scores_product"])
+    real_fsp = orig.forward_scores_product
+    calls = {}
+
+    def spy(*a, **k):
+        calls.update(k)
+        return real_fsp(*a, **k)
+
+    monkeypatch.setattr(orig, "forward_scores_product", spy)
+    got = P.compute_likelihoods(reads, [hap], impl="pallas")
+    assert calls.get("stream_carry") is True
+    want = P.compute_likelihoods(reads, [hap], impl="xla")
+    assert np.max(np.abs(got - want)) < 1e-9
+
+
 def test_engine_dispatch_uses_streaming_tier(monkeypatch):
     """Buckets beyond the VMEM envelope but inside the streaming envelope
     go through the pallas streaming path (not the XLA fallback), and the
@@ -281,3 +353,37 @@ def test_sw_long_query_stream_carry_tpu():
     got_best = int(np.asarray(ez[0])[2, 0])
     _, ezs = calculate_matrix(tgt, q, params, OverhangStrategy.SOFTCLIP)
     assert got_best == int(ezs["max"])
+
+
+@pytest.mark.tpu
+def test_pairhmm_long_hap_stream_carry_tpu():
+    """A 5.6 kbp haplotype — beyond the carry-in-VMEM envelope — through
+    the engine on hardware (stream_carry tier), within the 1e-5 log10
+    contract of the f64 scalar reference.
+
+    5.6 kbp compiles in ~4 min on the dev pool; ~6.5 kbp and beyond hits
+    the pool's remote-compile ceiling (~25 min then UNAVAILABLE) — a dev
+    artifact, not a kernel bound (the same kernel at 5.6k is exact, and
+    the CPU interpreter runs it at any length)."""
+    if os.environ.get("MGL_TPU_TEST_TPU") != "1":
+        pytest.skip("TPU hardware tests disabled")
+    import mgl_tpu.ops.pairhmm as P
+    from mgl_tpu.ref_impl import pairhmm_scalar
+
+    rng = np.random.default_rng(47)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    hap = rng.choice(ACGT, 5600)
+    reads = []
+    for k in range(3):
+        st = int(rng.integers(0, 5200))
+        b = hap[st: st + 250].copy()
+        mut = rng.random(250) < 0.02
+        b[mut] = rng.choice(ACGT, int(mut.sum()))
+        q = rng.integers(20, 40, 250).astype(np.uint8)
+        reads.append(dict(bases=b, q=q, i=q, d=q,
+                          c=np.full(250, 10, np.uint8)))
+    assert not P._pairhmm_fits_vmem(250, 5600)
+    assert not P._pairhmm_fits_stream(250, 5600)
+    got = P.compute_likelihoods(reads, [hap], impl="pallas")
+    want = pairhmm_scalar.compute_likelihoods(reads, [hap])
+    assert np.max(np.abs(got - want)) < 1e-5, (got[:, 0], want[:, 0])

@@ -269,6 +269,17 @@ def test_streaming_kernels_bitexact_tpu(tpu_backend):
     s1 = np.asarray(K.pairhmm_pallas_banded(*ar, stream=True))
     assert np.array_equal(s0, s1)
 
+    # stream_carry (long-hap / long-query) modes at small shapes: the
+    # carry + hap/query planes window through VMEM from HBM, scores must
+    # stay bit-identical to the all-VMEM kernels on real Mosaic too
+    s2 = np.asarray(K.pairhmm_pallas_banded(*ar, stream=True,
+                                            stream_carry=True))
+    assert np.array_equal(s0, s2)
+    ez2, _ = sw_pallas_banded(*args, 25, -50, 110, 6, indel_init=False,
+                              with_traceback=True, stream=True,
+                              stream_carry=True)
+    assert np.array_equal(np.asarray(ez0), np.asarray(ez2))
+
 
 def test_xfloat_rescue_on_tpu(tpu_backend, pairhmm_golden):
     """The extended-range rescue tier on hardware: golden rescue rows
