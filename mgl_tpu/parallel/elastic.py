@@ -56,6 +56,7 @@ class ShardCoordinator:
         self._hb_ttl = heartbeat_ttl
         self._last_beat: dict[str, float] = {}
         self._dead: set[str] = set()
+        self._max_gap: dict[str, float] = {}   # worst inter-beat gap seen
 
     # -- worker API ---------------------------------------------------
 
@@ -63,6 +64,10 @@ class ShardCoordinator:
         """Record liveness and renew the worker's in-flight leases."""
         with self._lock:
             now = self._clock()
+            prev = self._last_beat.get(worker)
+            if prev is not None:
+                self._max_gap[worker] = max(self._max_gap.get(worker, 0.0),
+                                            now - prev)
             self._last_beat[worker] = now
             self._dead.discard(worker)
             for sh in self._shards:
@@ -131,6 +136,7 @@ class ShardCoordinator:
                 "done": states.count("done"),
                 "attempts": sum(s.attempts for s in self._shards),
                 "dead_workers": sorted(self._dead),
+                "max_heartbeat_gap": dict(self._max_gap),
             }
 
 
@@ -143,6 +149,7 @@ def run_elastic(
     heartbeat_ttl: float = 5.0,
     fail: Callable[[str, int], bool] | None = None,
     poll: float = 0.01,
+    stats_out: dict | None = None,
 ) -> dict[int, Any]:
     """In-process elastic pool: N worker threads drain the coordinator.
 
@@ -195,4 +202,6 @@ def run_elastic(
         t.join()
     if errors:
         raise errors[0]
+    if stats_out is not None:
+        stats_out.update(coord.stats())
     return coord.results()

@@ -66,10 +66,13 @@ class ReferenceIndex:
 
     k: int
     ref: np.ndarray              # ASCII uint8 (contigs N-joined)
-    sorted_kmers: np.ndarray     # (M,) uint64
+    sorted_kmers: np.ndarray     # (M,) uint64 (canonical values when
+                                 # canon_fwd is not None)
     positions: np.ndarray        # (M,) int32 — ref offset of each kmer
     max_hits: int = 64
     prefix_table: np.ndarray | None = None   # (4^13 + 1,) int64 bucket starts
+    canon_fwd: np.ndarray | None = None      # (M,) bool: ref fwd kmer is
+                                             # its own canonical form
     contig_names: list | None = None
     contig_offsets: np.ndarray | None = None  # start of each contig in ref
     contig_lengths: np.ndarray | None = None
@@ -123,8 +126,19 @@ class ReferenceIndex:
         vals, valid = _kmers(code, k)
         pos = np.nonzero(valid)[0].astype(np.int32)
         vals = vals[valid]
+        fwd = None
+        if k <= 16:
+            # canonical k-mers: index min(kmer, rc(kmer)) plus a bit for
+            # which form was the forward one — a single table lookup then
+            # serves BOTH strands of a read (the lookup gathers are the
+            # seeding bottleneck; this halves them)
+            rcv = _rc_kmers(vals, k)
+            fwd = vals <= rcv
+            vals = np.minimum(vals, rcv)
         order = np.argsort(vals, kind="stable")
         vals = vals[order]
+        if fwd is not None:
+            fwd = fwd[order]
         if k <= 16:
             # 2k bits fit in 32: halves table memory and, more important,
             # the per-lookup gather bandwidth (the seeding bottleneck)
@@ -143,7 +157,8 @@ class ReferenceIndex:
                                    else np.int64)
         return ReferenceIndex(k=k, ref=ref, sorted_kmers=vals,
                               positions=pos[order].astype(np.int32),
-                              max_hits=max_hits, prefix_table=ptable)
+                              max_hits=max_hits, prefix_table=ptable,
+                              canon_fwd=fwd)
 
     def lookup(self, kmer_vals: np.ndarray):
         """Hit index ranges [lo, hi) for a flat array of k-mer values."""
@@ -213,28 +228,47 @@ def _rc_kmers(vals: np.ndarray, k: int) -> np.ndarray:
 
 def _vote_diagonals(index: ReferenceIndex, read_len: int,
                     vals: np.ndarray, valid: np.ndarray,
-                    seed_off: np.ndarray):
+                    seed_off: np.ndarray,
+                    rc_seed_off: np.ndarray | None = None):
     """Diagonal voting over precomputed seed k-mers.
 
-    vals/valid: (N, S); seed_off: (S,) or (N, S) read offsets of each
-    seed.  Returns (pos, votes, votes2): per read the exact best diagonal
-    (the most-supported single diagonal inside the winning +-8 bin), its
-    vote count, and the runner-up bin's count (for MAPQ).
+    vals/valid: (N, S) FORWARD seed values; seed_off: (S,) or (N, S) read
+    offsets of each seed.  Returns (pos, votes, votes2): per read the
+    exact best diagonal (the most-supported single diagonal inside the
+    winning +-8 bin), its vote count, and the runner-up bin's count (for
+    MAPQ).
+
+    On a canonical index, one lookup serves both strands: each hit's
+    strand is ``ref_fwd_bit != read_fwd_bit``.  With ``rc_seed_off``
+    (two-strand mode) the results come back as 2N rows — forward rows
+    then reverse rows, hit diagonals computed with the matching strand's
+    seed offsets.  Without it, reverse-strand hits are dropped.
     """
     N, S = vals.shape
     if seed_off.ndim == 1:
         seed_off = np.broadcast_to(seed_off[None, :], (N, S))
+    canonical = index.canon_fwd is not None
+    if canonical:
+        rc_vals = _rc_kmers(vals, index.k)
+        b_read = (vals <= rc_vals).reshape(-1)
+        look = np.minimum(vals, rc_vals)
+    else:
+        if rc_seed_off is not None:
+            raise ValueError("two-strand single-lookup needs a canonical "
+                             "index")
+        look = vals
 
-    lo, hi = index.lookup(vals.reshape(-1))
+    lo, hi = index.lookup(look.reshape(-1))
     cnt = hi - lo
     keep = (cnt > 0) & (cnt <= index.max_hits) & valid.reshape(-1)
     lo, hi = lo[keep], hi[keep]
     seed_read = np.repeat(np.arange(N, dtype=np.int64), S)[keep]
     seed_off = seed_off.reshape(-1)[keep]
 
-    pos = np.full(N, -1, np.int64)
-    votes = np.zeros(N, np.int32)
-    votes2 = np.zeros(N, np.int32)
+    n_rows = 2 * N if rc_seed_off is not None else N
+    pos = np.full(n_rows, -1, np.int64)
+    votes = np.zeros(n_rows, np.int32)
+    votes2 = np.zeros(n_rows, np.int32)
     total = int((hi - lo).sum())
     if total == 0:
         return pos, votes, votes2
@@ -243,7 +277,23 @@ def _vote_diagonals(index: ReferenceIndex, read_len: int,
         np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps))
     hit_pos = index.positions[flat_idx].astype(np.int64)
     hit_read = np.repeat(seed_read, reps)
-    hit_diag = hit_pos - np.repeat(seed_off, reps)   # candidate read start
+    hit_off = np.repeat(seed_off, reps)
+    if canonical:
+        strand = index.canon_fwd[flat_idx] != np.repeat(b_read[keep], reps)
+        if rc_seed_off is None:
+            hit_read = hit_read[~strand]
+            hit_diag = hit_pos[~strand] - hit_off[~strand]
+        else:
+            if rc_seed_off.ndim == 1:
+                rc_seed_off = np.broadcast_to(rc_seed_off[None, :], (N, S))
+            hit_roff = np.repeat(rc_seed_off.reshape(-1)[keep], reps)
+            hit_read = hit_read + N * strand
+            hit_diag = hit_pos - np.where(strand, hit_roff, hit_off)
+    else:
+        hit_diag = hit_pos - hit_off            # candidate read start
+    if len(hit_read) == 0:
+        return pos, votes, votes2
+    N = n_rows
 
     # vote: most-supported diagonal bin per read (+-indel tolerance //8)
     diag_bin = hit_diag // 8
@@ -307,21 +357,29 @@ def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
         pos, votes, _ = _vote_diagonals(index, read_len, fvals, fvalid,
                                         offsets)
         return pos, votes
-    # rc seeds by bit transform: seed j of the rc read covers forward
-    # offset offsets[S-1-j], i.e. rc-read offset L - k - offsets[S-1-j]
-    if k <= 16:
-        rvals = _rc_kmers(fvals[:, ::-1], k)
-        rvalid = fvalid[:, ::-1]
-        roff = (read_len - k - offsets[::-1]).astype(np.int32)
-    else:  # wide k-mers: recompute on the rc reads
-        rvals, rvalid, roff = _seed_kmers(revcomp(reads), k, stride)
-    vals = np.concatenate([fvals, rvals], axis=0)
-    valid = np.concatenate([fvalid, rvalid], axis=0)
-    seed_off = np.concatenate(
-        [np.broadcast_to(offsets[None, :], fvals.shape),
-         np.broadcast_to(roff[None, :], rvals.shape)], axis=0)
-    pos, votes, votes2 = _vote_diagonals(index, read_len, vals, valid,
-                                         seed_off)
+    if index.canon_fwd is not None:
+        # canonical index: ONE lookup serves both strands (hits split by
+        # the stored forward bit); rc-read offset of forward seed j is
+        # L - k - offsets[j]
+        roff = (read_len - k - offsets).astype(np.int32)
+        pos, votes, votes2 = _vote_diagonals(index, read_len, fvals, fvalid,
+                                             offsets, rc_seed_off=roff)
+    else:
+        # rc seeds by bit transform: seed j of the rc read covers forward
+        # offset offsets[S-1-j], i.e. rc-read offset L - k - offsets[S-1-j]
+        if k <= 16:
+            rvals = _rc_kmers(fvals[:, ::-1], k)
+            rvalid = fvalid[:, ::-1]
+            roff = (read_len - k - offsets[::-1]).astype(np.int32)
+        else:  # wide k-mers: recompute on the rc reads
+            rvals, rvalid, roff = _seed_kmers(revcomp(reads), k, stride)
+        vals = np.concatenate([fvals, rvals], axis=0)
+        valid = np.concatenate([fvalid, rvalid], axis=0)
+        seed_off = np.concatenate(
+            [np.broadcast_to(offsets[None, :], fvals.shape),
+             np.broadcast_to(roff[None, :], rvals.shape)], axis=0)
+        pos, votes, votes2 = _vote_diagonals(index, read_len, vals, valid,
+                                             seed_off)
     fw, rc = slice(0, N), slice(N, 2 * N)
     rc_wins = votes[rc] > votes[fw]
     strand = rc_wins.astype(np.int8)
@@ -553,6 +611,7 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
     dispatch is asynchronous; results are materialized one chunk behind).
     Same outputs as map_reads without with_cigar."""
     from mgl_tpu.core.params import SWParameters
+    from mgl_tpu.utils.metrics import METRICS
 
     params = params or SWParameters(25, -50, 110, 6)
     N, L = reads.shape
@@ -571,13 +630,15 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
 
     def finalize(p):
         ez, B, idxs = p
-        out["score"][idxs] = np.asarray(ez)[2, :B].astype(np.int64)
+        with METRICS.timer("map.sync"):
+            out["score"][idxs] = np.asarray(ez)[2, :B].astype(np.int64)
 
     for lo in range(0, N, chunk):
         hi = min(lo + chunk, N)
         sub = reads[lo:hi]
-        pos, votes, strand, votes2 = seed_candidates(index, sub, L,
-                                                     both_strands=True)
+        with METRICS.timer("map.seed"):
+            pos, votes, strand, votes2 = seed_candidates(index, sub, L,
+                                                         both_strands=True)
         out["votes"][lo:hi] = votes
         out["votes2"][lo:hi] = votes2
         out["strand"][lo:hi] = strand
@@ -588,23 +649,37 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
                 finalize(pending)
                 pending = None
             continue
-        start = np.clip(pos[mapped] - window_pad, 0,
-                        max(len(index.ref) - wlen, 0)).astype(np.int64)
-        win_idx = start[:, None] + np.arange(wlen)[None, :]
-        windows = index.ref[np.clip(win_idx, 0, len(index.ref) - 1)]
-        rsub = np.where(strand[mapped, None] == 1,
-                        revcomp(sub[mapped]), sub[mapped])
-        clipped = start != (pos[mapped] - window_pad)
-        exact, exact_o = _exact_tier(windows, rsub, window_pad, wlen, L,
-                                     clipped)
+        with METRICS.timer("map.host_tier"):
+            start = np.clip(pos[mapped] - window_pad, 0,
+                            max(len(index.ref) - wlen, 0)).astype(np.int64)
+            rsub = np.where(strand[mapped, None] == 1,
+                            revcomp(sub[mapped]), sub[mapped])
+            clipped = start != (pos[mapped] - window_pad)
+            # seeds pin the exact best diagonal, so the exact tier needs
+            # one equality check at the predicted read start (a read that
+            # differs there can't be exact at any other offset); only
+            # edge-clipped windows (rare) still take the full-range scan
+            rd_idx = pos[mapped][:, None] + np.arange(L)[None, :]
+            refslice = index.ref[np.clip(rd_idx, 0, len(index.ref) - 1)]
+            exact = ~clipped & (refslice == rsub).all(axis=1)
+            exact_o = np.where(exact, np.int64(window_pad), np.int64(-1))
+            if clipped.any():
+                ci = np.nonzero(clipped)[0]
+                wi = start[ci, None] + np.arange(wlen)[None, :]
+                win_c = index.ref[np.clip(wi, 0, len(index.ref) - 1)]
+                e2, o2 = _exact_tier(win_c, rsub[ci], window_pad, wlen, L,
+                                     np.ones(len(ci), bool))
+                exact[ci] = e2
+                exact_o[ci] = o2
         out["pos"][lo + mapped] = start
         out["offset"][lo + mapped[exact]] = exact_o[exact]
         out["score"][lo + mapped[exact]] = L * int(params.match)
         rest = ~exact
         launched = None
         if rest.any():
-            ez, B = _sw_score_windows_async(index, start[rest], rsub[rest],
-                                            wlen, params)
+            with METRICS.timer("map.dispatch"):
+                ez, B = _sw_score_windows_async(index, start[rest],
+                                                rsub[rest], wlen, params)
             launched = (ez, B, lo + mapped[rest])
         if pending is not None:
             finalize(pending)
