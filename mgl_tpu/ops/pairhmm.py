@@ -413,14 +413,24 @@ def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
         return out
 
     from mgl_tpu.batch.bucketing import bucket_pairs
+    from mgl_tpu.kernels.pairhmm_xf_pallas import (_xf_fits_vmem,
+                                                   rescue_scores_xf_banded)
     from mgl_tpu.ops.xfloat import rescue_scores_xf
 
+    use_pallas = _use_pallas("auto") and mode != "xf-scan"
     out = np.zeros(len(pairs), np.float64)
     la = [len(reads[ri]["bases"]) for ri, _ in pairs]
     lb = [len(haps[hi]) for _, hi in pairs]
     for (pa, pb), idxs in bucket_pairs(la, lb):
-        sub = rescue_scores_xf(reads, haps, [pairs[k] for k in idxs],
-                               pad_to=(pa, pb))
+        if use_pallas and _xf_fits_vmem(pa, pb):
+            # banded Pallas xfloat kernel (the fast path); the XLA scan
+            # below stays as the any-shape executable spec
+            sub = rescue_scores_xf_banded(reads, haps,
+                                          [pairs[k] for k in idxs],
+                                          pad_to=(pa, pb))
+        else:
+            sub = rescue_scores_xf(reads, haps, [pairs[k] for k in idxs],
+                                   pad_to=(pa, pb))
         out[np.asarray(idxs)] = sub
     return out
 

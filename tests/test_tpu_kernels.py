@@ -303,3 +303,31 @@ def test_xfloat_rescue_on_tpu(tpu_backend, pairhmm_golden):
             assert got[k] == 0.0, k
         else:
             assert abs(math.log10(got[k]) - math.log10(want)) < 1e-5, k
+
+
+def test_xfloat_banded_kernel_on_tpu(tpu_backend, pairhmm_golden):
+    """The banded Pallas xfloat rescue kernel on real Mosaic: full golden
+    corpus, same underflow set as the XLA scan spec, within 1e-9 of it
+    and 1e-5 of the reference double kernels."""
+    import math
+
+    from mgl_tpu.kernels.pairhmm_xf_pallas import rescue_scores_xf_banded
+    from mgl_tpu.ops.xfloat import rescue_scores_xf
+    from tests.conftest import as_u8
+
+    rows = pairhmm_golden
+    reads = [dict(bases=as_u8(r["read"]), q=np.array(r["q"], np.uint8),
+                  i=np.array(r["i"], np.uint8), d=np.array(r["d"], np.uint8),
+                  c=np.array(r["c"], np.uint8)) for r in rows]
+    haps = [as_u8(r["hap"]) for r in rows]
+    pairs = [(k, k) for k in range(len(rows))]
+    got = rescue_scores_xf_banded(reads, haps, pairs)
+    want = rescue_scores_xf(reads, haps, pairs)
+    assert np.array_equal(got == 0, want == 0)
+    nz = want != 0
+    assert np.all(np.abs(np.log10(got[nz]) - np.log10(want[nz])) < 1e-9)
+    for k, r in enumerate(rows):
+        wd = float.fromhex(r["avxd"])
+        if wd == 0.0 or got[k] == 0.0:
+            continue
+        assert abs(math.log10(got[k]) - math.log10(wd)) < 1e-5, k

@@ -81,6 +81,31 @@ def test_xf_rescue_matches_reference_double_kernels(pairhmm_golden):
         assert dl < 1e-5 and da < 1e-5, (k, got[k], want_s, want_a)
 
 
+def test_xf_banded_kernel_matches_scan_spec(monkeypatch, pairhmm_golden):
+    """The banded Pallas xfloat kernel (kernels/pairhmm_xf_pallas.py) on a
+    golden rescue slice: same underflow set as the XLA scan spec and
+    log10 within 1e-9 (the U/W pre-multiplication only reorders
+    rounding), and within the 1e-5 contract of the reference's f64
+    kernels."""
+    from mgl_tpu.kernels.pairhmm_xf_pallas import rescue_scores_xf_banded
+    from mgl_tpu.ops.xfloat import rescue_scores_xf
+
+    monkeypatch.setenv("MGL_TPU_PALLAS_INTERPRET", "1")
+    rows = pairhmm_golden[:48]
+    reads, haps = _golden_reads_haps(rows)
+    pairs = [(k, k) for k in range(len(rows))]
+    got = rescue_scores_xf_banded(reads, haps, pairs)
+    want = rescue_scores_xf(reads, haps, pairs)
+    assert np.array_equal(got == 0, want == 0)
+    nz = want != 0
+    assert np.all(np.abs(np.log10(got[nz]) - np.log10(want[nz])) < 1e-9)
+    for k, r in enumerate(rows):
+        want_d = float.fromhex(r["scalard"])
+        if want_d == 0.0 or got[k] == 0.0:
+            continue
+        assert abs(math.log10(got[k]) - math.log10(want_d)) < 1e-5, k
+
+
 def test_rescue_decisions_and_tier_equivalence(pairhmm_golden):
     """Cascade with the device tier: rescue *decisions* come from the f32
     pass (unchanged); rescued scores agree with the scalar-f64 oracle tier
