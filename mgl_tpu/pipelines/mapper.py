@@ -37,17 +37,43 @@ def encode(seq: np.ndarray) -> np.ndarray:
 
 
 def _kmers(code: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """All k-mers of a 2-bit coded sequence; returns (values, valid)."""
+    """All k-mers of a 2-bit coded sequence; returns (values, valid).
+
+    Log-doubling combine (span-1 -> 2 -> 4 -> ... mers) does ceil(log2 k)
+    full-array passes instead of k, in uint32 for k <= 16 — the index
+    build at genome scale is memory-bandwidth-bound here."""
     n = len(code) - k + 1
+    dtype = np.uint32 if k <= 16 else np.uint64
     if n <= 0:
-        return np.zeros(0, np.uint64), np.zeros(0, bool)
-    vals = np.zeros(n, np.uint64)
-    for i in range(k):
-        vals = (vals << np.uint64(2)) | code[i: n + i].astype(np.uint64)
+        return np.zeros(0, dtype), np.zeros(0, bool)
+    need = {p for p in (1 << j for j in range(k.bit_length())) if k & p}
+    w = code.astype(dtype)                 # span-1 values per start
+    spans = {1: w} if 1 in need else {}
+    span = 1
+    while span * 2 <= k:
+        w = (w[: len(w) - span] << dtype(2 * span)) | w[span:]
+        span *= 2
+        if span in need:
+            spans[span] = w
+    # binary decomposition of k: concatenate the power-of-two pieces
+    acc, done = None, 0
+    for s in sorted(spans, reverse=True):
+        if done + s > k:
+            continue
+        arr = spans[s]
+        if acc is None:
+            acc = arr
+        else:
+            m = len(arr) - done
+            acc = (acc[:m] << dtype(2 * s)) | arr[done:]
+        done += s
+        if done == k:
+            break
+    w = acc[:n]
     isn = (code >= 4).astype(np.int32)
     cs = np.concatenate([[0], np.cumsum(isn)])
     valid = (cs[k:] - cs[:-k]) == 0
-    return vals, valid
+    return w, valid
 
 
 _PREFIX_BASES = 13                     # 4^13 = 67M jump-table buckets
