@@ -315,3 +315,45 @@ def test_write_sam_strand_and_validity(sim, tmp_path):
             assert f[9].encode() == reads[i].tobytes()
             assert f[10].encode() == bytes((quals[i] + 33).astype(np.uint8))
     assert n_rev >= N // 4                # both strands present
+
+
+def test_canonical_index_lookup_properties():
+    """Canonical-index invariants: sorted_kmers holds min(kmer, rc(kmer))
+    with the forward bit marking which form the reference had; lookup of
+    a canonical value finds exactly the positions whose forward k-mer is
+    the value or its reverse complement (brute-force checked)."""
+    import numpy as np
+
+    from mgl_tpu.pipelines.mapper import (ReferenceIndex, _kmers, _rc_kmers,
+                                          encode)
+
+    rng = np.random.default_rng(23)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    ref = rng.choice(ACGT, 5000)
+    k = 16
+    index = ReferenceIndex.build(ref, k=k)
+    assert index.canon_fwd is not None
+
+    fvals, valid = _kmers(encode(ref), k)
+    fvals = fvals[valid]
+    rcv = _rc_kmers(fvals, k)
+    canon = np.minimum(fvals, rcv).astype(index.sorted_kmers.dtype)
+    # stored values are canonical and sorted
+    assert np.array_equal(np.sort(canon), index.sorted_kmers)
+    # forward bit round-trips: position p is forward iff its fwd k-mer
+    # equals its canonical form
+    pos2canon = dict(zip(index.positions.tolist(),
+                         index.sorted_kmers.tolist()))
+    pos2fwd = dict(zip(index.positions.tolist(), index.canon_fwd.tolist()))
+    fpos = np.nonzero(valid)[0]
+    for j in rng.choice(len(fpos), 200, replace=False):
+        p = int(fpos[j])
+        assert pos2canon[p] == int(canon[j])
+        assert pos2fwd[p] == (int(fvals[j]) <= int(rcv[j]))
+    # lookup(canon(v)) returns exactly the brute-force hit set
+    probe = rng.choice(len(canon), 64, replace=False)
+    lo, hi = index.lookup(canon[probe])
+    for t, (a, b) in enumerate(zip(lo, hi)):
+        want = set(fpos[np.nonzero(canon == canon[probe[t]])[0]].tolist())
+        got = set(index.positions[a:b].tolist())
+        assert got == want, t
