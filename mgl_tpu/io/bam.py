@@ -30,8 +30,12 @@ class _Stream:
         self._buf = bytearray()
         self._pos = 0
 
-    def take(self, n: int) -> memoryview | None:
-        """Next ``n`` decompressed bytes (None at clean EOF)."""
+    def take(self, n: int) -> bytes | None:
+        """Next ``n`` decompressed bytes as an immutable copy (None at
+        clean EOF).  Copies are required: callers hold returned slices
+        across further ``take`` calls, and a live memoryview export
+        would make the compaction ``del self._buf[:pos]`` raise
+        BufferError (records are tiny, so the copy is cheap)."""
         while len(self._buf) - self._pos < n:
             chunk = self._fh.read(max(_CHUNK, n))
             if not chunk:                   # EOF before n bytes
@@ -40,12 +44,12 @@ class _Stream:
                 del self._buf[: self._pos]
                 self._pos = 0
             self._buf += chunk
-        out = memoryview(self._buf)[self._pos: self._pos + n]
+        out = bytes(memoryview(self._buf)[self._pos: self._pos + n])
         self._pos += n
         return out
 
 
-def _parse_record(rec: memoryview) -> dict:
+def _parse_record(rec: bytes) -> dict:
     (ref_id, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
      _next_ref, _next_pos, _tlen) = struct.unpack_from("<iiBBHHHiiii", rec)
     p = 32

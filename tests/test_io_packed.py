@@ -58,6 +58,60 @@ def test_fasta_fastq_roundtrip(tmp_path):
     assert reads[1][2].tolist() == [0] * 4
 
 
+def _write_bam(path, n_records, seq="ACGT" * 30):
+    """Minimal BAM writer (gzip container; reader handles BGZF/gzip alike)."""
+    import struct
+
+    nib = {c: "=ACMGRSVTWYHKDBN".index(c) for c in "ACGT"}
+    body = bytearray()
+    text = "@HD\tVN:1.6\n"
+    body += b"BAM\x01" + struct.pack("<i", len(text)) + text.encode()
+    body += struct.pack("<i", 1)                       # one reference
+    body += struct.pack("<i", 5) + b"chr1\x00" + struct.pack("<i", 1000)
+    l_seq = len(seq)
+    packed = bytearray()
+    for i in range(0, l_seq, 2):
+        hi = nib[seq[i]]
+        lo = nib[seq[i + 1]] if i + 1 < l_seq else 0
+        packed.append((hi << 4) | lo)
+    for k in range(n_records):
+        name = f"read{k}".encode() + b"\x00"
+        rec = struct.pack("<iiBBHHHiiii", 0, k % 1000, len(name), 60,
+                          0, 1, 0, l_seq, -1, -1, 0)
+        rec += name + struct.pack("<I", (l_seq << 4) | 0)   # 120M
+        rec += bytes(packed) + bytes([30]) * l_seq
+        body += struct.pack("<i", len(rec)) + rec
+    with gzip.open(path, "wb") as f:
+        f.write(bytes(body))
+
+
+def test_bam_streaming_past_compaction(tmp_path):
+    """Streams a BAM whose decompressed payload exceeds the 1 MB rolling
+    buffer chunk, exercising _Stream compaction while record slices from
+    earlier takes are still alive (regression: BufferError on del)."""
+    from mgl_tpu.io.bam import iter_bam, read_bam
+
+    path = tmp_path / "big.bam"
+    n = 12000                      # ~160 B/record ≈ 1.9 MB decompressed
+    _write_bam(path, n)
+    seen = 0
+    last = None
+    for hdr, rec in iter_bam(path):
+        if hdr is not None:
+            assert hdr["refs"] == [("chr1", 1000)]
+            continue
+        seen += 1
+        last = rec
+    assert seen == n
+    assert last["name"] == f"read{n - 1}"
+    assert last["cigar"] == "120M"
+    assert bytes(last["bases"]).decode() == "ACGT" * 30
+    assert last["quals"].tolist() == [30] * 120
+    # read_bam (whole-file path) must also survive compaction
+    _, reads = read_bam(path, max_reads=6000)
+    assert len(reads) == 6000 and reads[5999]["name"] == "read5999"
+
+
 @pytest.mark.skipif(not REF_BAM.exists(), reason="reference fixture absent")
 def test_bam_reader_fixture():
     from mgl_tpu.io.bam import read_bam

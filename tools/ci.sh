@@ -13,11 +13,11 @@ export JAX_PLATFORMS=cpu
 unset PALLAS_AXON_POOL_IPS || true
 
 echo "== wheel =="
-rm -rf build/ci-wheel && mkdir -p build/ci-wheel
-pip wheel --no-build-isolation --no-deps -w build/ci-wheel . >/dev/null
-rm -rf build/ci-site && mkdir -p build/ci-site
-pip install --no-deps --target build/ci-site build/ci-wheel/*.whl >/dev/null
-(cd /tmp && PYTHONPATH="$OLDPWD/build/ci-site" python - << 'EOF'
+rm -rf .ci-scratch/wheel && mkdir -p .ci-scratch/wheel
+pip wheel --no-build-isolation --no-deps -w .ci-scratch/wheel . >/dev/null
+rm -rf .ci-scratch/site && mkdir -p .ci-scratch/site
+pip install --no-deps --target .ci-scratch/site .ci-scratch/wheel/*.whl >/dev/null
+(cd /tmp && PYTHONPATH="$OLDPWD/.ci-scratch/site" python - << 'EOF'
 from mgl_tpu.api import OverhangStrategy, SmithWatermanAligner, SWParameters
 r = SmithWatermanAligner().align(b"ACGTACGTACGT", b"ACGTACGT",
                                  SWParameters(25, -50, 110, 6),
