@@ -204,7 +204,20 @@ def bench_engine(n_reads=512, n_haps=12, rdlen=151, haplen=420):
         out = eng.compute_likelihoods(reads, haps)
         best = min(best, time.time() - t0)
     assert out.shape == (n_reads, n_haps)
-    return n_reads * n_haps / best
+    pairs_per_s = n_reads * n_haps / best
+
+    # the reference's explicitly supported all-double configuration
+    # (initNative(use_double=true)): every pair rides the extended-range
+    # xfloat tier instead of the f32 cascade
+    eng_d = PairHmmEngine(use_double=True)
+    eng_d.compute_likelihoods(reads[:64], haps)   # warm compiles
+    best_d = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out_d = eng_d.compute_likelihoods(reads, haps)
+        best_d = min(best_d, time.time() - t0)
+    assert out_d.shape == (n_reads, n_haps)
+    return pairs_per_s, n_reads * n_haps / best_d
 
 
 def main():
@@ -217,7 +230,7 @@ def main():
     sw_score_gcups, _ = bench_sw(with_traceback=False)
     ph_gcups, ph_t = bench_pairhmm()
     ph_shared_gcups, sharing = bench_pairhmm_shared()
-    engine_pairs = bench_engine()
+    engine_pairs, engine_pairs_double = bench_engine()
 
     vs = sw_gcups / baseline["sw_avx_gcups_150"]
     out = {
@@ -233,6 +246,7 @@ def main():
             "pairhmm_shared_gcups": round(ph_shared_gcups, 2),
             "pairhmm_shared_prefix_saving": round(sharing, 3),
             "engine_pairs_per_s": round(engine_pairs, 0),
+            "engine_pairs_per_s_double": round(engine_pairs_double, 0),
             "pairhmm_vs_baseline": round(
                 ph_gcups / baseline["pairhmm_avxf_gcups_150x400"], 1),
             "pairhmm_shared_vs_baseline": round(

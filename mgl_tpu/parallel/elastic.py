@@ -150,6 +150,7 @@ def run_elastic(
     fail: Callable[[str, int], bool] | None = None,
     poll: float = 0.01,
     stats_out: dict | None = None,
+    clock: Callable[[], float] = time.monotonic,
 ) -> dict[int, Any]:
     """In-process elastic pool: N worker threads drain the coordinator.
 
@@ -160,9 +161,13 @@ def run_elastic(
     Each worker runs a background heartbeat thread so shards that take
     longer than heartbeat_ttl/lease_ttl are not falsely reaped from a
     healthy owner (heartbeats renew lease deadlines).
+
+    ``clock`` feeds the coordinator's lease/heartbeat timing; tests
+    inject a virtual clock so ttl expiry is driven deterministically
+    instead of racing wall-time margins against host scheduling.
     """
     coord = ShardCoordinator(shards, lease_ttl=lease_ttl,
-                             heartbeat_ttl=heartbeat_ttl)
+                             heartbeat_ttl=heartbeat_ttl, clock=clock)
     errors: list[BaseException] = []
 
     def worker(name: str):

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from mgl_tpu.core.params import DP_NEG_INF
 from mgl_tpu.ops.pairhmm import pairhmm_forward_f32
 from mgl_tpu.ops.sw import sw_forward
 from mgl_tpu.parallel.sort import distributed_sort
@@ -155,8 +156,18 @@ def _sw_block_xla(target, tlen, query, qlen, params):
                     jnp.int32(params.match), jnp.int32(params.mismatch),
                     jnp.int32(params.gap_open), jnp.int32(params.gap_extend),
                     indel_init=False, with_traceback=False)
-    return jnp.maximum(jnp.max(sw.last_row, axis=0),
-                       jnp.max(sw.last_col, axis=0)).astype(jnp.int32)
+    # Only diagonals [ql-1, ql+tl-1) of last_col / [tl-1, tl+ql-1) of
+    # last_row are real cells (ops/sw.compute_score_max slicing); the
+    # rest hold fill values that must not win the max (a 0 there floors
+    # negative best scores, diverging from the kernels' ScoreMax).
+    neg = jnp.int32(DP_NEG_INF)
+    d = jnp.arange(sw.last_col.shape[0], dtype=jnp.int32)[:, None]
+    ql = qlen.astype(jnp.int32)[None, :]
+    tln = tl.astype(jnp.int32)[None, :]
+    lc = jnp.where((d >= ql - 1) & (d < ql + tln - 1), sw.last_col, neg)
+    lr = jnp.where((d >= tln - 1) & (d < tln + ql - 1), sw.last_row, neg)
+    return jnp.maximum(jnp.max(lr, axis=0),
+                       jnp.max(lc, axis=0)).astype(jnp.int32)
 
 
 def pipeline_step(mesh: Mesh, impl: str = "auto", sw_params=None):

@@ -20,8 +20,13 @@ if os.environ.get("MGL_TPU_TEST_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
+    # 16 virtual devices, though meshes use at most 8: the XLA CPU
+    # client's thread pool is sized to the device count, and an 8-device
+    # Mosaic-interpret pallas program parks 8 *blocking* host callbacks
+    # on pool threads whose argument-producer tasks also need threads —
+    # with exactly 8 that deadlocks (see __graft_entry__.dryrun_multichip).
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=16"
     ).strip()
 
 import json  # noqa: E402

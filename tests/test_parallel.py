@@ -123,10 +123,13 @@ def test_pipeline_pallas_kernels_match_xla():
 
     os.environ["MGL_TPU_PALLAS_INTERPRET"] = "1"
     try:
-        # 2x2: interpret-mode device programs starve the pool beyond ~4
-        # virtual devices on 1-core hosts
-        mesh = make_mesh(2, 2, devices=jax.devices()[:4])
-        reads, haps, ref = make_example_inputs(mesh)
+        # Full 8-device mesh (conftest provisions 16 virtual devices so
+        # the CPU client's thread pool has headroom for the 8 blocking
+        # interpret callbacks; with exactly 8 devices this deadlocks).
+        # seed=7 data includes reads whose best SW score vs the window
+        # is negative — the case where unmasked-diagonal maxima diverge.
+        mesh = make_mesh(4, 2, devices=_cpu_devices(8))
+        reads, haps, ref = make_example_inputs(mesh, seed=7)
         out_p = pipeline_step(mesh, impl="pallas")(reads, haps, ref)
         out_x = pipeline_step(mesh, impl="xla")(reads, haps, ref)
         np.testing.assert_array_equal(np.asarray(out_p["likelihoods"]),
