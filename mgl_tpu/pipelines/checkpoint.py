@@ -30,6 +30,24 @@ import numpy as np
 MANIFEST = "manifest.json"
 
 
+def save_chunk_atomic(directory: str | os.PathLike, chunk: int,
+                      arrays: dict[str, np.ndarray]) -> None:
+    """Atomically write one chunk .npz (tmp + rename) WITHOUT touching the
+    manifest — safe for concurrent writers (scale-out workers racing on a
+    re-dispatched chunk: last rename wins, both files are complete)."""
+    directory = pathlib.Path(directory)
+    final = directory / f"chunk_{chunk:06d}.npz"
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, final)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 class CheckpointedRun:
     """Disk-backed chunk ledger for one logical run."""
 
@@ -68,18 +86,21 @@ class CheckpointedRun:
 
     def save_chunk(self, chunk: int, arrays: dict[str, np.ndarray]) -> None:
         """Atomically persist one chunk's result arrays."""
-        final = self.dir / f"chunk_{chunk:06d}.npz"
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".npz.tmp")
-        try:
-            with os.fdopen(fd, "wb") as f:
-                np.savez(f, **arrays)
-            os.replace(tmp, final)
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        save_chunk_atomic(self.dir, chunk, arrays)
         self._done.add(chunk)
         self._write_manifest()
+
+    def rescan(self) -> set[int]:
+        """Adopt chunk files written by other processes (scale-out workers
+        use save_chunk_atomic and report completion through the
+        coordinator; the driver rescans to reconcile the ledger — also the
+        crash-resume path when the driver died before a manifest write)."""
+        for p in self.dir.glob("chunk_*.npz"):
+            c = int(p.stem.split("_")[1])
+            if c < self.n_chunks:
+                self._done.add(c)
+        self._write_manifest()
+        return set(self._done)
 
     def load_chunk(self, chunk: int) -> dict[str, np.ndarray]:
         with np.load(self.dir / f"chunk_{chunk:06d}.npz") as z:
