@@ -94,7 +94,9 @@ class ReferenceIndex:
     ref: np.ndarray              # ASCII uint8 (contigs N-joined)
     sorted_kmers: np.ndarray     # (M,) uint64 (canonical values when
                                  # canon_fwd is not None)
-    positions: np.ndarray        # (M,) int32 — ref offset of each kmer
+    positions: np.ndarray        # (M,) uint32 (int64 past 4.29 Gbp) —
+                                 # ref offset of each kmer; all consumers
+                                 # widen to int64 before arithmetic
     max_hits: int = 64
     prefix_table: np.ndarray | None = None   # (4^13 + 1,) int64 bucket starts
     canon_fwd: np.ndarray | None = None      # (M,) bool: ref fwd kmer is
@@ -103,6 +105,7 @@ class ReferenceIndex:
     contig_offsets: np.ndarray | None = None  # start of each contig in ref
     contig_lengths: np.ndarray | None = None
     _ref_dev: object = None
+    _ref_blocked: bool = False
     _win_fns: dict | None = None
 
     @staticmethod
@@ -150,7 +153,10 @@ class ReferenceIndex:
             ref_seq, np.ndarray) else ref_seq.astype(np.uint8)
         code = encode(ref)
         vals, valid = _kmers(code, k)
-        pos = np.nonzero(valid)[0].astype(np.int32)
+        # uint32 offsets reach 4.29 Gbp (human genome: 3.1 Gbp) at half
+        # the table memory of int64; consumers widen to int64 on load
+        pos_dtype = np.uint32 if len(ref) < 2**32 else np.int64
+        pos = np.nonzero(valid)[0].astype(pos_dtype)
         vals = vals[valid]
         fwd = None
         if k <= 16:
@@ -182,7 +188,7 @@ class ReferenceIndex:
             ptable = ptable.astype(np.uint32 if len(vals) < 2**32
                                    else np.int64)
         return ReferenceIndex(k=k, ref=ref, sorted_kmers=vals,
-                              positions=pos[order].astype(np.int32),
+                              positions=pos[order],
                               max_hits=max_hits, prefix_table=ptable,
                               canon_fwd=fwd)
 
@@ -259,10 +265,11 @@ def _vote_diagonals(index: ReferenceIndex, read_len: int,
     """Diagonal voting over precomputed seed k-mers.
 
     vals/valid: (N, S) FORWARD seed values; seed_off: (S,) or (N, S) read
-    offsets of each seed.  Returns (pos, votes, votes2): per read the
-    exact best diagonal (the most-supported single diagonal inside the
-    winning +-8 bin), its vote count, and the runner-up bin's count (for
-    MAPQ).
+    offsets of each seed.  Returns (pos, votes, votes2, pos2): per read
+    the exact best diagonal (the most-supported single diagonal inside
+    the winning +-8 bin), its vote count, the runner-up locus' count, and
+    the runner-up's exact diagonal (-1 if none) — the competitor the
+    verify stage rescores for score-based MAPQ.
 
     On a canonical index, one lookup serves both strands: each hit's
     strand is ``ref_fwd_bit != read_fwd_bit``.  With ``rc_seed_off``
@@ -297,7 +304,7 @@ def _vote_diagonals(index: ReferenceIndex, read_len: int,
     votes2 = np.zeros(n_rows, np.int32)
     total = int((hi - lo).sum())
     if total == 0:
-        return pos, votes, votes2
+        return pos, votes, votes2, pos.copy()
     reps = (hi - lo).astype(np.int64)
     flat_idx = np.repeat(lo, reps) + (
         np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps))
@@ -318,39 +325,47 @@ def _vote_diagonals(index: ReferenceIndex, read_len: int,
     else:
         hit_diag = hit_pos - hit_off            # candidate read start
     if len(hit_read) == 0:
-        return pos, votes, votes2
+        return pos, votes, votes2, pos.copy()
     N = n_rows
 
-    # vote: most-supported diagonal bin per read (+-indel tolerance //8)
+    # vote: most-supported diagonal bin per read (+-indel tolerance //8),
+    # then the runner-up = best bin among hits NOT adjacent to the winner
+    # (adjacent bins are support for the same locus, not competition).
+    # The second pass scans every non-adjacent hit, so a competitor can't
+    # hide behind same-locus bins — and its exact diagonal comes back too,
+    # which the verify stage rescoring (score-based MAPQ) needs.
+    p1, votes[:], bins = _best_locus(hit_read, hit_diag, N)
+    pos[:] = np.where(p1 >= 0, np.clip(p1, 0, len(index.ref) - 1), -1)
+    adj = np.abs(hit_diag // 8 - bins[hit_read]) <= 1
+    p2, votes2[:], _ = _best_locus(hit_read[~adj], hit_diag[~adj], N)
+    pos2 = np.where(p2 >= 0, np.clip(p2, 0, len(index.ref) - 1), -1)
+    return pos, votes, votes2, pos2
+
+
+def _best_locus(hit_read: np.ndarray, hit_diag: np.ndarray, N: int):
+    """Most-supported diagonal bin per read plus the most-supported exact
+    diagonal inside it.  Returns (pos, votes, bins): best diagonal (int64,
+    -1 where no hits), its bin's vote count, and the winning bin id
+    (sentinel -2^60 where none)."""
+    pos = np.full(N, -1, np.int64)
+    votes = np.zeros(N, np.int32)
+    bins = np.full(N, np.int64(-(1 << 60)))
+    if len(hit_read) == 0:
+        return pos, votes, bins
     diag_bin = hit_diag // 8
     key = hit_read * np.int64(1 << 40) + (diag_bin + np.int64(1 << 32))
     uniq, counts = np.unique(key, return_counts=True)
     u_read = (uniq >> 40).astype(np.int64)
     u_bin = (uniq & np.int64((1 << 40) - 1)) - np.int64(1 << 32)
-
     order = np.lexsort((counts, u_read))
     u_read_s, u_bin_s, counts_s = u_read[order], u_bin[order], counts[order]
     last = np.nonzero(np.diff(np.concatenate([u_read_s, [-1]])) != 0)[0]
     best_read = u_read_s[last]
-    best_bin = u_bin_s[last]
+    bins[best_read] = u_bin_s[last]
     votes[best_read] = counts_s[last].astype(np.int32)
-    # runner-up: the best-supported *non-adjacent* bin (adjacent bins are
-    # support for the same locus, not competition); scan a few entries
-    # back since same-locus bins can occupy the next slots
-    v2 = np.zeros(len(last), np.int64)
-    for back in (1, 2, 3):
-        prev = np.maximum(last - back, 0)
-        ok = ((last >= back) & (u_read_s[prev] == best_read)
-              & (np.abs(u_bin_s[prev] - best_bin) > 1))
-        v2 = np.maximum(v2, np.where(ok, counts_s[prev], 0))
-    votes2[best_read] = v2.astype(np.int32)
 
     # exact diagonal: most-supported single diagonal within the best bin
-    bin_of_hit = hit_read * np.int64(1 << 40) + (diag_bin + np.int64(1 << 32))
-    best_key = np.full(N, -1, np.int64)
-    best_key[best_read] = best_read * np.int64(1 << 40) + (
-        best_bin + np.int64(1 << 32))
-    in_best = bin_of_hit == best_key[hit_read]
+    in_best = diag_bin == bins[hit_read]
     hr, hd = hit_read[in_best], hit_diag[in_best]
     dkey = hr * np.int64(1 << 40) + (hd + np.int64(1 << 32))
     du, dc = np.unique(dkey, return_counts=True)
@@ -358,14 +373,13 @@ def _vote_diagonals(index: ReferenceIndex, read_len: int,
     dd = (du & np.int64((1 << 40) - 1)) - np.int64(1 << 32)
     dorder = np.lexsort((dc, dr))
     dlast = np.nonzero(np.diff(np.concatenate([dr[dorder], [-1]])) != 0)[0]
-    er = dr[dorder][dlast]
-    pos[er] = np.clip(dd[dorder][dlast], 0, len(index.ref) - 1)
-    return pos, votes, votes2
+    pos[dr[dorder][dlast]] = dd[dorder][dlast]
+    return pos, votes, bins
 
 
 def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
                     read_len: int, stride: int | None = None,
-                    both_strands: bool = False):
+                    both_strands: bool = False, full: bool = False):
     """Vectorized candidate position per read by diagonal voting.
 
     reads: (N, read_len) ASCII.  Returns (pos, votes) or, with
@@ -374,22 +388,27 @@ def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
     estimate), its vote count, the winning strand (0 forward / 1
     reverse-complement), and the best competing vote count across both
     strands and non-adjacent diagonals (the MAPQ denominator).
+
+    ``full=True`` (with both_strands) appends (pos2, strand2): the
+    runner-up locus' diagonal and strand (-1/-1 if no competitor) — what
+    the verify stage rescores for score-based MAPQ.
     """
     stride = stride or index.k
     k = index.k
     N = reads.shape[0]
     fvals, fvalid, offsets = _seed_kmers(reads, k, stride)
     if not both_strands:
-        pos, votes, _ = _vote_diagonals(index, read_len, fvals, fvalid,
-                                        offsets)
+        pos, votes, _, _ = _vote_diagonals(index, read_len, fvals, fvalid,
+                                           offsets)
         return pos, votes
     if index.canon_fwd is not None:
         # canonical index: ONE lookup serves both strands (hits split by
         # the stored forward bit); rc-read offset of forward seed j is
         # L - k - offsets[j]
         roff = (read_len - k - offsets).astype(np.int32)
-        pos, votes, votes2 = _vote_diagonals(index, read_len, fvals, fvalid,
-                                             offsets, rc_seed_off=roff)
+        pos, votes, votes2, p2 = _vote_diagonals(index, read_len, fvals,
+                                                 fvalid, offsets,
+                                                 rc_seed_off=roff)
     else:
         # rc seeds by bit transform: seed j of the rc read covers forward
         # offset offsets[S-1-j], i.e. rc-read offset L - k - offsets[S-1-j]
@@ -404,8 +423,8 @@ def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
         seed_off = np.concatenate(
             [np.broadcast_to(offsets[None, :], fvals.shape),
              np.broadcast_to(roff[None, :], rvals.shape)], axis=0)
-        pos, votes, votes2 = _vote_diagonals(index, read_len, vals, valid,
-                                             seed_off)
+        pos, votes, votes2, p2 = _vote_diagonals(index, read_len, vals,
+                                                 valid, seed_off)
     fw, rc = slice(0, N), slice(N, 2 * N)
     rc_wins = votes[rc] > votes[fw]
     strand = rc_wins.astype(np.int8)
@@ -414,7 +433,17 @@ def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
     within = np.where(rc_wins, votes2[rc], votes2[fw])
     other = np.where(rc_wins, votes[fw], votes[rc])
     second = np.maximum(within, other).astype(np.int32)
-    return best_pos, best_votes, strand, second
+    if not full:
+        return best_pos, best_votes, strand, second
+    # runner-up locus: the winning strand's non-adjacent runner-up vs the
+    # LOSING strand's best — whichever has more support
+    within_pos = np.where(rc_wins, p2[rc], p2[fw])
+    other_pos = np.where(rc_wins, pos[fw], pos[rc])
+    use_other = other > within
+    pos2 = np.where(use_other, other_pos, within_pos)
+    strand2 = np.where(use_other, 1 - strand, strand).astype(np.int8)
+    strand2 = np.where(pos2 >= 0, strand2, -1).astype(np.int8)
+    return best_pos, best_votes, strand, second, pos2, strand2
 
 
 def mapq_from_votes(votes: np.ndarray, votes2: np.ndarray,
@@ -431,6 +460,32 @@ def mapq_from_votes(votes: np.ndarray, votes2: np.ndarray,
         frac = np.where(v1 > 0, (v1 - v2) / np.maximum(v1, 1), 0.0)
     conf = np.minimum(1.0, v1 / 4.0)
     q = 60.0 * frac * conf
+    return np.clip(np.rint(q), 0, 60).astype(np.int32)
+
+
+def mapq_rescore(score1: np.ndarray, score2: np.ndarray, votes: np.ndarray,
+                 params) -> np.ndarray:
+    """Mapping quality from the SW score gap of the two best loci.
+
+    Seed votes saturate (~9 non-overlapping seeds/read), so a
+    near-duplicate locus one seed short of the winner still leaves a
+    large vote fraction — vote-only MAPQ overcalls on repeats.  Here the
+    verify stage has SW-scored BOTH loci, and confidence comes from the
+    score deficit of the runner-up: one substitution costs
+    ``match - mismatch`` score units and is worth ~6 phred of
+    discrimination at typical sequencing error rates (the BWA-MEM scale,
+    mapq ~ 6 * (s1-s2)/a), so
+
+        mapq = clip(6 * (score1 - score2) / (match - mismatch), 0, 60)
+
+    scaled by the absolute-support prior min(1, votes/4) — votes act as
+    a prior only; the score gap is the evidence.  An exact repeat
+    (score2 == score1) maps to 0 regardless of votes.
+    """
+    c = float(params.match) - float(params.mismatch)
+    delta = np.asarray(score1, np.float64) - np.asarray(score2, np.float64)
+    conf = np.minimum(1.0, np.asarray(votes, np.float64) / 4.0)
+    q = 6.0 * np.maximum(delta, 0.0) / max(c, 1.0) * conf
     return np.clip(np.rint(q), 0, 60).astype(np.int32)
 
 
@@ -555,23 +610,78 @@ def _default_impl_lazy() -> str:
     return _default_impl()
 
 
+# Device indices are int32 (x64 is off), so a flat reference gather tops
+# out at 2^31 bp.  Past _BLOCK_GATE the reference lives on device as
+# overlapping 2^_BLOCK_BITS-bp rows and a window start becomes a
+# (row, offset) int32 pair — genome-scale (3.1 Gbp) windows stay
+# device-resident with 32-bit indices.  The gate is monkeypatched small
+# in tests to exercise the blocked path against the flat one.
+_BLOCK_BITS = 27
+_BLOCK_GATE = 2**31 - 65536
+_BLOCK_OVERLAP = 4096    # > any wlen: a window never leaves its row
+
+
+def _ref_device(index: "ReferenceIndex"):
+    """Device-resident reference: (array, blocked).  Flat padded vector
+    below _BLOCK_GATE; overlapping (n_rows, block+overlap) matrix above."""
+    import jax.numpy as jnp
+
+    dev = getattr(index, "_ref_dev", None)
+    if dev is not None:
+        return dev, getattr(index, "_ref_blocked", False)
+    n = len(index.ref)
+    if n <= _BLOCK_GATE:
+        index._ref_dev = jnp.asarray(
+            np.concatenate([index.ref, np.zeros(_BLOCK_OVERLAP, np.uint8)]))
+        index._ref_blocked = False
+    else:
+        S = 1 << _BLOCK_BITS
+        n_rows = -(-n // S)
+        padded = np.concatenate(
+            [index.ref, np.zeros(S + _BLOCK_OVERLAP, np.uint8)])
+        rows = np.lib.stride_tricks.as_strided(
+            padded, shape=(n_rows, S + _BLOCK_OVERLAP), strides=(S, 1))
+        index._ref_dev = jnp.asarray(np.ascontiguousarray(rows))
+        index._ref_blocked = True
+    return index._ref_dev, index._ref_blocked
+
+
+def _split_starts(starts: np.ndarray, blocked: bool):
+    """int64 window starts -> int32 device index arrays (flat or pair)."""
+    starts = np.asarray(starts, np.int64)
+    if not blocked:
+        return (starts.astype(np.int32),)
+    return ((starts >> _BLOCK_BITS).astype(np.int32),
+            (starts & ((1 << _BLOCK_BITS) - 1)).astype(np.int32))
+
+
 def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32,
                         with_traceback: bool = False,
-                        indel_init: bool = False):
-    """jit-compiled: (ref_dev u8, starts, reads u8) -> ez (and btr)."""
+                        indel_init: bool = False, blocked: bool = False):
+    """jit-compiled: (ref_dev u8, *starts, reads u8) -> ez (and btr)."""
     import jax
     import jax.numpy as jnp
 
+    from mgl_tpu.kernels.pairhmm_pallas import env_interpret
     from mgl_tpu.kernels.sw_pallas import LANES, _round_up, sw_pallas_banded
 
     Rb = _round_up(wlen, band)
     QR = _round_up(qlen + band, 8)
+    interpret = env_interpret()
 
     @jax.jit
     def fn(ref_dev, starts, reads_u8, match, mismatch, gap_open, gap_ext):
-        B = starts.shape[0]
-        win = ref_dev[starts[:, None]
-                      + jnp.arange(wlen, dtype=starts.dtype)[None, :]]
+        if blocked:
+            bid, off = starts
+            B = bid.shape[0]
+            win = ref_dev[bid[:, None],
+                          off[:, None]
+                          + jnp.arange(wlen, dtype=jnp.int32)[None, :]]
+        else:
+            (st,) = starts
+            B = st.shape[0]
+            win = ref_dev[st[:, None]
+                          + jnp.arange(wlen, dtype=st.dtype)[None, :]]
         tchar = jnp.zeros((Rb, B), jnp.int32).at[:wlen].set(
             win.T.astype(jnp.int32))
         qpad = jnp.zeros((QR, B), jnp.int32).at[:qlen].set(
@@ -580,7 +690,8 @@ def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32,
         ql = jnp.full((1, B), qlen, jnp.int32)
         return sw_pallas_banded(tchar, qpad, tl, ql, match, mismatch,
                                 gap_open, gap_ext, indel_init=indel_init,
-                                with_traceback=with_traceback, band=band)
+                                with_traceback=with_traceback, band=band,
+                                interpret=interpret)
 
     return fn
 
@@ -595,27 +706,25 @@ def _sw_score_windows_async(index: "ReferenceIndex", starts: np.ndarray,
     from mgl_tpu.batch.bucketing import bucket_dims
     from mgl_tpu.kernels.sw_pallas import LANES, _round_up
 
-    if getattr(index, "_ref_dev", None) is None:
-        # pad so start+wlen never reads out of bounds
-        padded = np.concatenate([index.ref,
-                                 np.zeros(2048, np.uint8)])
-        index._ref_dev = jnp.asarray(padded)
+    ref_dev, blocked = _ref_device(index)
     B, L = reads.shape
     # bucket the lane count so recompiles don't track every batch size
     Bp = _round_up(bucket_dims(B, (1024, 4096, 16384, 32768, 65536,
                                    131072, 262144)), LANES)
-    st = np.zeros(Bp, np.int32)
-    st[:B] = starts
+    st_parts = _split_starts(starts, blocked)
+    st = tuple(np.zeros(Bp, np.int32) for _ in st_parts)
+    for d, s in zip(st, st_parts):
+        d[:B] = s
     rd = np.zeros((Bp, L), np.uint8)
     rd[:B] = reads
-    key = (wlen, L, False)
+    key = (wlen, L, False, blocked)
     cache = getattr(index, "_win_fns", None)
     if cache is None:
         cache = index._win_fns = {}
     fn = cache.get(key)
     if fn is None:
-        fn = cache[key] = _windowed_scores_fn(wlen, L)
-    ez, _ = fn(index._ref_dev, jnp.asarray(st), jnp.asarray(rd),
+        fn = cache[key] = _windowed_scores_fn(wlen, L, blocked=blocked)
+    ez, _ = fn(ref_dev, tuple(jnp.asarray(s) for s in st), jnp.asarray(rd),
                params.match, params.mismatch, params.gap_open,
                params.gap_extend)
     return ez, B
@@ -631,15 +740,38 @@ def sw_score_windows(index: "ReferenceIndex", starts: np.ndarray,
 
 def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
                      chunk: int = 131072, window_pad: int = 24,
-                     params=None) -> dict:
+                     params=None, with_cigar: bool = False,
+                     strategy=None) -> dict:
     """Chunked score-mode mapping with host/device overlap: while the chip
     verifies chunk k, the host seeds and exact-tiers chunk k+1 (JAX
     dispatch is asynchronous; results are materialized one chunk behind).
-    Same outputs as map_reads without with_cigar."""
-    from mgl_tpu.core.params import SWParameters
+
+    Reads whose seeding found a competing locus (pos2) get that locus
+    SW-scored in the SAME kernel launch as the primary windows, and their
+    MAPQ is rescored from the score gap (mapq_rescore); unambiguous reads
+    keep vote-based MAPQ.  Same outputs as map_reads without with_cigar,
+    plus pos2/score2 diagnostics.
+
+    ``with_cigar=True`` adds full CIGARs at streaming throughput via a
+    certified-diagonal tier: the SW recurrence pins alignment starts to
+    the matrix boundary (ref_impl/sw_scalar.py, sw.cpp:5-146), so a
+    full-length diagonal alignment scores exactly
+    ``(L-nm)*match + nm*mismatch`` — when the kernel's global best equals
+    that, "<L>M" is provably an optimal CIGAR and no traceback is needed.
+    Only reads where a gapped path beats the diagonal (indels,
+    mis-seeds, window-edge clips) go through the banded traceback kernel
+    in a bounded post-pass.
+    """
+    from mgl_tpu.core.params import OverhangStrategy, SWParameters
     from mgl_tpu.utils.metrics import METRICS
 
     params = params or SWParameters(25, -50, 110, 6)
+    strategy = strategy or OverhangStrategy.SOFTCLIP
+    # the certified tier's score model assumes the zero boundary rows of
+    # the non-indel-init strategies; INDEL/LEADING_INDEL windows take the
+    # traceback for every read
+    cert_ok = not (strategy & (OverhangStrategy.INDEL
+                               | OverhangStrategy.LEADING_INDEL))
     N, L = reads.shape
     wlen = L + 2 * window_pad
     out = {
@@ -650,21 +782,38 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
         "strand": np.zeros(N, np.int8),
         "mapq": np.zeros(N, np.int32),
         "offset": np.full(N, -1, np.int64),
+        "pos2": np.full(N, -1, np.int64),
+        "score2": np.full(N, -(2**30), np.int64),
         "window_pad": window_pad,
     }
+    if with_cigar:
+        out["cigar"] = np.array([""] * N, dtype=object)
+    tb_idx: list = []            # reads needing the traceback tier
     pending = None
 
     def finalize(p):
-        ez, B, idxs = p
+        ez, B, n1, idx1, idx2, diag1 = p
         with METRICS.timer("map.sync"):
-            out["score"][idxs] = np.asarray(ez)[2, :B].astype(np.int64)
+            scores = np.asarray(ez)[2, :B].astype(np.int64)
+        out["score"][idx1] = scores[:n1]
+        if with_cigar and n1:
+            cert = cert_ok & (diag1 >= 0) & (scores[:n1] == diag1)
+            for i in idx1[cert]:
+                out["cigar"][i] = f"{L}M"
+            out["offset"][idx1[cert]] = window_pad
+            tb_idx.extend(idx1[~cert])
+        if len(idx2):
+            out["score2"][idx2] = scores[n1:]
+            out["mapq"][idx2] = mapq_rescore(out["score"][idx2],
+                                             scores[n1:],
+                                             out["votes"][idx2], params)
 
     for lo in range(0, N, chunk):
         hi = min(lo + chunk, N)
         sub = reads[lo:hi]
         with METRICS.timer("map.seed"):
-            pos, votes, strand, votes2 = seed_candidates(index, sub, L,
-                                                         both_strands=True)
+            pos, votes, strand, votes2, pos2, strand2 = seed_candidates(
+                index, sub, L, both_strands=True, full=True)
         out["votes"][lo:hi] = votes
         out["votes2"][lo:hi] = votes2
         out["strand"][lo:hi] = strand
@@ -687,8 +836,17 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
             # edge-clipped windows (rare) still take the full-range scan
             rd_idx = pos[mapped][:, None] + np.arange(L)[None, :]
             refslice = index.ref[np.clip(rd_idx, 0, len(index.ref) - 1)]
-            exact = ~clipped & (refslice == rsub).all(axis=1)
+            eq = refslice == rsub
+            exact = ~clipped & eq.all(axis=1)
             exact_o = np.where(exact, np.int64(window_pad), np.int64(-1))
+            # certified-diagonal score: what a full-length gap-free
+            # alignment at the seeded diagonal scores (valid where the
+            # window isn't edge-clipped)
+            nm = L - eq.sum(axis=1)
+            diag_score = np.where(
+                clipped, np.int64(-1),
+                (L - nm) * np.int64(params.match)
+                + nm * np.int64(params.mismatch))
             if clipped.any():
                 ci = np.nonzero(clipped)[0]
                 wi = start[ci, None] + np.arange(wlen)[None, :]
@@ -697,21 +855,45 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
                                      np.ones(len(ci), bool))
                 exact[ci] = e2
                 exact_o[ci] = o2
+            # competitor loci of mapped reads ride the same launch
+            amb = np.nonzero((pos >= 0) & (pos2 >= 0))[0]
+            start2 = np.clip(pos2[amb] - window_pad, 0,
+                             max(len(index.ref) - wlen, 0)).astype(np.int64)
+            rsub2 = np.where(strand2[amb, None] == 1,
+                             revcomp(sub[amb]), sub[amb])
         out["pos"][lo + mapped] = start
+        out["pos2"][lo + amb] = start2
         out["offset"][lo + mapped[exact]] = exact_o[exact]
         out["score"][lo + mapped[exact]] = L * int(params.match)
+        if with_cigar:
+            for i in lo + mapped[exact]:
+                out["cigar"][i] = f"{L}M"
         rest = ~exact
         launched = None
-        if rest.any():
+        if rest.any() or len(amb):
             with METRICS.timer("map.dispatch"):
-                ez, B = _sw_score_windows_async(index, start[rest],
-                                                rsub[rest], wlen, params)
-            launched = (ez, B, lo + mapped[rest])
+                ez, B = _sw_score_windows_async(
+                    index, np.concatenate([start[rest], start2]),
+                    np.concatenate([rsub[rest], rsub2], axis=0),
+                    wlen, params)
+            launched = (ez, B, int(rest.sum()), lo + mapped[rest], lo + amb,
+                        diag_score[rest])
         if pending is not None:
             finalize(pending)
         pending = launched
     if pending is not None:
         finalize(pending)
+    if with_cigar and tb_idx:
+        # traceback tier: the minority of reads whose optimal alignment
+        # isn't the seeded diagonal (indels / edge clips / mis-seeds)
+        with METRICS.timer("map.traceback"):
+            tb = np.asarray(tb_idx, np.int64)
+            rsub_tb = np.where(out["strand"][tb, None] == 1,
+                               revcomp(reads[tb]), reads[tb])
+            res = sw_cigar_windows(index, out["pos"][tb], rsub_tb, wlen,
+                                   params, strategy)
+            for j, i in enumerate(tb):
+                out["cigar"][i], out["offset"][i] = res[j]
     return out
 
 
@@ -738,26 +920,28 @@ def sw_cigar_windows(index: "ReferenceIndex", starts: np.ndarray,
     from mgl_tpu.native import cigar_decode_bulk_banded
     from mgl_tpu.ops.cigar import decode_nib_fn
 
-    if getattr(index, "_ref_dev", None) is None:
-        padded = np.concatenate([index.ref, np.zeros(2048, np.uint8)])
-        index._ref_dev = jnp.asarray(padded)
+    ref_dev, blocked = _ref_device(index)
     B, L = reads.shape
     Bp = _round_up(bucket_dims(B, (1024, 4096, 8192)), LANES)
-    st = np.zeros(Bp, np.int32)
-    st[:B] = starts
+    st_parts = _split_starts(starts, blocked)
+    st = tuple(np.zeros(Bp, np.int32) for _ in st_parts)
+    for d, s in zip(st, st_parts):
+        d[:B] = s
     rd = np.zeros((Bp, L), np.uint8)
     rd[:B] = reads
     indel_init = bool(
         strategy & (OverhangStrategy.INDEL | OverhangStrategy.LEADING_INDEL))
-    key = (wlen, L, True, indel_init)
+    key = (wlen, L, True, indel_init, blocked)
     cache = getattr(index, "_win_fns", None)
     if cache is None:
         cache = index._win_fns = {}
     fn = cache.get(key)
     if fn is None:
         fn = cache[key] = _windowed_scores_fn(
-            wlen, L, band=band, with_traceback=True, indel_init=indel_init)
-    ez_dev, btr = fn(index._ref_dev, jnp.asarray(st), jnp.asarray(rd),
+            wlen, L, band=band, with_traceback=True, indel_init=indel_init,
+            blocked=blocked)
+    ez_dev, btr = fn(ref_dev, tuple(jnp.asarray(s) for s in st),
+                     jnp.asarray(rd),
                      params.match, params.mismatch, params.gap_open,
                      params.gap_extend)
     ez_np = np.asarray(ez_dev)[:, :B].astype(np.int64)

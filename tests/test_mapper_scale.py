@@ -1,0 +1,206 @@
+"""Genome-scale mapper regressions (CPU).
+
+Covers the three scale hazards of BASELINE config 4 at full genome size:
+- k-mer offsets past the int32 boundary (2.147 Gbp; human ref is 3.1 Gbp)
+- the blocked device window gather (int32 device indices via (row, offset)
+  pairs once the reference exceeds ``_BLOCK_GATE``)
+- score-based MAPQ: the verify stage rescores the runner-up locus and a
+  near-duplicate (small-indel) repeat no longer gets vote-level confidence.
+"""
+
+import numpy as np
+import pytest
+
+from mgl_tpu.pipelines import mapper as M
+from mgl_tpu.pipelines.mapper import (ReferenceIndex, map_reads,
+                                      map_reads_stream, mapq_rescore)
+
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_env(monkeypatch):
+    """Pallas under the Mosaic interpreter for THIS module only."""
+    monkeypatch.setenv("MGL_TPU_PALLAS_INTERPRET", "1")
+
+
+def _shifted_index(seg: np.ndarray, big_off: int, k: int = 16):
+    """Index of ``seg`` embedded at offset ``big_off`` of a zeros (i.e.
+    non-ACGT, unmatchable) reference — builds the small index and shifts
+    its positions, so the test doesn't pay a 2 Gbp k-mer pass."""
+    small = ReferenceIndex.build(seg, k=k)
+    ref = np.zeros(big_off + len(seg) + 4096, np.uint8)
+    ref[big_off: big_off + len(seg)] = seg
+    shifted = small.positions.astype(np.int64) + big_off
+    assert shifted.max() < 2**32
+    return ReferenceIndex(
+        k=k, ref=ref, sorted_kmers=small.sorted_kmers,
+        positions=shifted.astype(np.uint32), max_hits=small.max_hits,
+        prefix_table=None, canon_fwd=small.canon_fwd)
+
+
+def test_positions_past_int32_boundary():
+    """Reads placed beyond 2.147 Gbp map to the right (uint32) offsets:
+    the voting/verify arithmetic must widen to int64 throughout."""
+    rng = np.random.default_rng(11)
+    seg = rng.choice(BASES, size=20_000)
+    big_off = 2**31 + 12_345          # past the int32 ceiling
+    idx = _shifted_index(seg, big_off)
+
+    N, L = 48, 100
+    starts = rng.integers(64, len(seg) - L - 64, size=N)
+    reads = seg[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random((N, L)) < 0.01
+    reads[mut] = rng.choice(BASES, size=int(mut.sum()))
+    reads[N // 2:] = M.revcomp(reads[N // 2:])      # half reverse-strand
+
+    out = map_reads(idx, reads, impl="xla")
+    mapped = out["pos"] >= 0
+    assert mapped.mean() > 0.95
+    d = (big_off + starts[mapped]) - out["pos"][mapped]
+    assert ((d >= 0) & (d <= 48)).all()
+    assert (out["score"][mapped] >= 0.8 * 25 * L).all()
+    assert (out["strand"][N // 2:] == 1).mean() > 0.9
+    # locate() round-trips past the boundary
+    cid, local = idx.locate(out["pos"][mapped])
+    assert (cid == 0).all() and (local == out["pos"][mapped]).all()
+
+
+def test_blocked_window_gather_matches_flat(monkeypatch):
+    """The (row, offset) blocked device gather is bit-identical to the
+    flat gather — exercised by shrinking the gate/block size so a small
+    reference takes the genome-scale path."""
+    rng = np.random.default_rng(12)
+    ref = rng.choice(BASES, size=60_000)
+    N, L = 64, 100
+    starts = rng.integers(0, len(ref) - L, size=N)
+    reads = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random((N, L)) < 0.02
+    reads[mut] = rng.choice(BASES, size=int(mut.sum()))
+
+    flat = map_reads_stream(ReferenceIndex.build(ref, k=16), reads)
+    monkeypatch.setattr(M, "_BLOCK_GATE", 1)
+    monkeypatch.setattr(M, "_BLOCK_BITS", 12)   # 4096-bp rows
+    idx2 = ReferenceIndex.build(ref, k=16)
+    blocked = map_reads_stream(idx2, reads)
+    assert idx2._ref_blocked
+    for key in ("pos", "score", "mapq", "strand", "offset"):
+        np.testing.assert_array_equal(flat[key], blocked[key])
+
+
+def _indel_repeat_fixture():
+    """Reference with locus A and a near-duplicate B = A minus one base:
+    the deletion shifts half of B's seed diagonals into the adjacent bin
+    (posB % 8 == 0) and kills the straddling seed, so seed votes show a
+    wide margin (8 vs 4 -> vote-MAPQ ~30, a 0.1% error claim) while the
+    true SW score gap is one gap-open penalty (genuinely ambiguous)."""
+    rng = np.random.default_rng(13)
+    L = 128
+    segA = rng.choice(BASES, size=L)
+    segB = np.delete(segA, 60)                  # 1bp deletion
+    posA, posB = 3_000, 16_000
+    ref = rng.choice(BASES, size=40_000)
+    ref[posA: posA + L] = segA
+    ref[posB: posB + len(segB)] = segB
+    return ReferenceIndex.build(ref, k=16), segA[None, :].copy(), posA
+
+
+def test_score_mapq_not_overcalled_on_near_duplicate():
+    idx, read, posA = _indel_repeat_fixture()
+    out = map_reads_stream(idx, read)
+    assert out["pos"][0] >= 0
+    assert abs((out["pos"][0] + out["window_pad"]) - posA) <= 8
+    # seeding found the duplicate as runner-up...
+    assert out["pos2"][0] >= 0
+    v1, v2 = out["votes"][0], out["votes2"][0]
+    vote_q = M.mapq_from_votes(np.array([v1]), np.array([v2]))[0]
+    # ...vote-only confidence is high (the overcall this guards against)
+    assert vote_q >= 25
+    # ...but the rescored MAPQ sees the tiny SW gap (one 4bp gap penalty)
+    assert out["score2"][0] > -(2**29), "runner-up locus was not scored"
+    gap = out["score"][0] - out["score2"][0]
+    assert 0 < gap <= 200                       # ~ one gap-open penalty
+    assert out["mapq"][0] <= 15
+    assert out["mapq"][0] < vote_q - 10
+
+
+def test_score_mapq_unique_read_stays_confident():
+    rng = np.random.default_rng(14)
+    ref = rng.choice(BASES, size=40_000)
+    L = 128
+    starts = rng.integers(0, len(ref) - L, size=8)
+    reads = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    idx = ReferenceIndex.build(ref, k=16)
+    out = map_reads_stream(idx, reads)
+    ok = out["pos"] >= 0
+    assert ok.all()
+    # unique reads: either no competitor found (vote MAPQ) or the
+    # competitor's score gap is huge — confidence stays maximal
+    assert (out["mapq"][ok] >= 50).all()
+
+
+def test_cigar_stream_certified_and_traceback_tiers(tmp_path):
+    """with_cigar=True streaming: exact reads and SNP-only reads take the
+    certified-diagonal tier ("<L>M" without traceback, provably optimal
+    because the diagonal score equals the kernel's global best); an
+    indel read falls to the traceback tier; the SAM has no '*' CIGARs
+    for mapped reads."""
+    rng = np.random.default_rng(15)
+    ref = rng.choice(BASES, size=50_000)
+    idx = ReferenceIndex.build(ref, k=16)
+    N, L = 48, 100
+    starts = rng.integers(100, len(ref) - L - 100, size=N)
+    reads = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    # reads 0-15 exact; 16-31 get 2 interior SNPs; 32-47 get a 2bp
+    # deletion (read skips 2 ref bases) -> traceback tier
+    for i in range(16, 32):
+        for p in (30, 61):
+            reads[i, p] = BASES[(np.searchsorted(BASES, reads[i, p]) + 2) % 4]
+    del_start = 50
+    for i in range(32, 48):
+        s = starts[i]
+        seq = np.concatenate([ref[s: s + del_start],
+                              ref[s + del_start + 2: s + L + 2]])
+        reads[i] = seq
+    out = map_reads_stream(idx, reads, with_cigar=True)
+    assert (out["pos"] >= 0).all()
+    for i in range(32):
+        assert out["cigar"][i] == f"{L}M"
+        assert out["offset"][i] == out["window_pad"]
+    import re
+
+    for i in range(32, 48):
+        cig = out["cigar"][i]
+        assert "D" in cig, f"read {i}: expected deletion, got {cig!r}"
+        qlen = sum(int(n) for n, op in re.findall(r"(\d+)([MIS])", cig))
+        assert qlen == L
+        # the deletion shouldn't cost mapping confidence
+        assert out["score"][i] >= 25 * L - 200
+    # SAM emission: every mapped read carries a real CIGAR
+    from mgl_tpu.io.sam import write_sam
+
+    sam = tmp_path / "out.sam"
+    write_sam(sam, idx, reads, out)
+    body = [ln for ln in sam.read_text().splitlines()
+            if not ln.startswith("@")]
+    assert len(body) == N
+    for ln in body:
+        f = ln.split("\t")
+        if int(f[1]) & 0x4 == 0:
+            assert f[5] != "*"
+
+
+def test_mapq_rescore_formula():
+    from mgl_tpu.core.params import SWParameters
+
+    p = SWParameters(25, -50, 110, 6)
+    s1 = np.array([3200, 3200, 3200, 3200])
+    s2 = np.array([3200, 3125, 2450, -(2**30)])   # 0, 1, 10 mismatches, none
+    votes = np.array([8, 8, 8, 8])
+    q = mapq_rescore(s1, s2, votes, p)
+    assert q[0] == 0                      # exact repeat -> 0
+    assert q[1] == 6                      # one substitution-equivalent
+    assert q[2] == 60                     # clipped at 60
+    # low absolute support halves confidence via the vote prior
+    q_low = mapq_rescore(s1[2:3], s2[2:3], np.array([2]), p)
+    assert q_low[0] == 30

@@ -41,10 +41,10 @@ def simulate(rng, ref_len: int, n_reads: int, read_len: int,
 
 
 def config4(n_reads: int, ref_len: int, chunk: int = 131072,
-            read_len: int = 150):
+            read_len: int = 150, seed: int = 0):
     from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads_stream
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     print(f"simulating ref {ref_len/1e6:.0f} Mbp + {n_reads} reads ...",
           flush=True)
     ref, reads, true_pos = simulate(rng, ref_len, n_reads, read_len)
@@ -71,8 +71,10 @@ def config4(n_reads: int, ref_len: int, chunk: int = 131072,
     mapped = pos >= 0
     # window start is fuzzy by design (diagonal bin + pad); correct if the
     # true read start lies inside the verified window
-    window = 150 + 2 * 24
-    ok = mapped & (true_pos >= pos) & (true_pos <= pos + window - 150)
+    window = read_len + 2 * 24
+    ok = mapped & (true_pos >= pos) & (true_pos <= pos + window - read_len)
+    import resource
+
     return {
         "n_reads": int(n_reads),
         "ref_mbp": ref_len / 1e6,
@@ -83,6 +85,8 @@ def config4(n_reads: int, ref_len: int, chunk: int = 131072,
         "warmup_s": round(t_warm, 2),
         "mapped_frac": round(float(mapped.mean()), 4),
         "window_accuracy": round(float(ok.sum() / max(mapped.sum(), 1)), 4),
+        "max_rss_gb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 2),
     }, pos, score
 
 
@@ -166,7 +170,25 @@ def main():
                     help="run only the virtual-mesh distributed sort")
     ap.add_argument("--sort-only", action="store_true",
                     help="rerun only config 5 with synthetic positions")
+    ap.add_argument("--big", action="store_true",
+                    help="run only the 512 Mbp reference config "
+                         "(the BASELINE config-4 genome-scale step)")
     args = ap.parse_args()
+
+    if args.big:
+        import jax
+
+        c4, _, _ = config4(args.reads, int(512e6), seed=3)
+        rep = {"backend": jax.default_backend(), "config4_512mbp": c4}
+        out = pathlib.Path(__file__).resolve().parent.parent / \
+            "tests/golden/scale_report.json"
+        if out.exists():
+            old = json.loads(out.read_text())
+            old.update(rep)
+            rep = old
+        out.write_text(json.dumps(rep, indent=1))
+        print(json.dumps({"config4_512mbp": c4}))
+        return
 
     if args.mesh_only:
         rep = config5_mesh(args.sort_keys)
