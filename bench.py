@@ -196,13 +196,23 @@ def bench_engine(n_reads=512, n_haps=12, rdlen=151, haplen=420):
             q = rng.integers(15, 45, rdlen).astype(np.uint8)
         reads.append(dict(bases=b, q=q, i=q, d=q,
                           c=np.full(rdlen, 10, np.uint8)))
+    from mgl_tpu.utils.metrics import METRICS
+
     eng = PairHmmEngine()
     eng.compute_likelihoods(reads[:64], haps)     # warm compiles
     best = float("inf")
+    stages = {}
     for _ in range(3):
+        METRICS.reset()
         t0 = time.time()
         out = eng.compute_likelihoods(reads, haps)
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
+        if dt < best:
+            best = dt
+            snap = METRICS.snapshot()["timers_s"]
+            stages = {k.split(".", 1)[1]: v for k, v in snap.items()
+                      if k.startswith("engine.")}
+            stages["other"] = round(best - sum(stages.values()), 4)
     assert out.shape == (n_reads, n_haps)
     pairs_per_s = n_reads * n_haps / best
 
@@ -217,7 +227,7 @@ def bench_engine(n_reads=512, n_haps=12, rdlen=151, haplen=420):
         out_d = eng_d.compute_likelihoods(reads, haps)
         best_d = min(best_d, time.time() - t0)
     assert out_d.shape == (n_reads, n_haps)
-    return pairs_per_s, n_reads * n_haps / best_d
+    return pairs_per_s, n_reads * n_haps / best_d, stages
 
 
 def main():
@@ -230,7 +240,7 @@ def main():
     sw_score_gcups, _ = bench_sw(with_traceback=False)
     ph_gcups, ph_t = bench_pairhmm()
     ph_shared_gcups, sharing = bench_pairhmm_shared()
-    engine_pairs, engine_pairs_double = bench_engine()
+    engine_pairs, engine_pairs_double, engine_stages = bench_engine()
 
     vs = sw_gcups / baseline["sw_avx_gcups_150"]
     out = {
@@ -247,6 +257,7 @@ def main():
             "pairhmm_shared_prefix_saving": round(sharing, 3),
             "engine_pairs_per_s": round(engine_pairs, 0),
             "engine_pairs_per_s_double": round(engine_pairs_double, 0),
+            "engine_stage_s": engine_stages,
             "pairhmm_vs_baseline": round(
                 ph_gcups / baseline["pairhmm_avxf_gcups_150x400"], 1),
             "pairhmm_shared_vs_baseline": round(

@@ -901,18 +901,12 @@ def forward_scores_shared(reads: list[dict], haps: list[np.ndarray],
     if not share:        # test hook: full sweeps, must be bit-identical
         positions = np.zeros_like(positions)
 
-    planes, rchar, rslen, pgapm1 = pack_reads_for_product(
-        reads, band, pad_rdlen=pad_rdlen)
+    # host ships raw uint8 tracks; transition planes build on device
+    # (_read_planes_device) — 6x less transfer than shipping f32 planes
+    q, i, d, c, rbases, rlens = _stack_tracks(reads)
+    rmax = int(rlens.max())
+    Rb = _round_up(max(rmax, pad_rdlen), band)
     Bp = _round_up(max(n_reads, 1), LANES)
-
-    def pad_lanes(a, dtype):
-        out = np.zeros((a.shape[0], Bp), dtype)
-        out[:, : a.shape[1]] = a
-        return out
-
-    rchar = pad_lanes(rchar, np.int32)
-    rslen = pad_lanes(rslen, np.int32)
-    planes = tuple(pad_lanes(p, np.float32) for p in planes)
 
     # segment table + distinct-suffix char stream (bucketed shapes)
     seg_len = [len(h) - int(positions[j]) for j, h in enumerate(haps)]
@@ -942,16 +936,16 @@ def forward_scores_shared(reads: list[dict], haps: list[np.ndarray],
     segtab[0, n_haps:] = S
 
     y_shared = np.float32(CTX_F32.initial_constant) / np.float32(cols_max)
-    u0 = (y_shared * pgapm1).astype(np.float32)
-    u0 = pad_lanes(u0, np.float32)
 
     import jax.numpy as jnp
 
-    score = pairhmm_pallas_shared(
-        jnp.asarray(hstream), jnp.asarray(rchar), jnp.asarray(rslen),
-        jnp.asarray(segtab),
-        *(jnp.asarray(p) for p in planes), jnp.asarray(u0),
-        scp=scp, band=band, interpret=env_interpret())
+    ph2pr, m2m, enc = _ctx_tables_f32()
+    score = _shared_forward_tracks(
+        jnp.asarray(hstream), jnp.asarray(segtab),
+        jnp.asarray(q), jnp.asarray(i), jnp.asarray(d), jnp.asarray(c),
+        jnp.asarray(rbases), jnp.asarray(rlens),
+        jnp.float32(y_shared), ph2pr, m2m, enc,
+        Rb=Rb, Bp=Bp, scp=scp, band=band, interpret=env_interpret())
     raw = np.asarray(score)[:n_haps, :n_reads].astype(np.float64)
     # final rescale, float factors as in the reference (avxf.cc:1086)
     lens = np.array([np.float32(len(h)) for h in haps], np.float64)
@@ -1077,6 +1071,106 @@ def pack_reads_for_product(reads: list[dict], band: int = 32,
     return planes, rchar, rslen[None, :], pgapm1
 
 
+_DEV_TABLES: dict = {}
+
+
+def _ctx_tables_f32():
+    """Device-resident CTX_F32 tables (ph2pr, match_to_match, BASE_ENC)
+    for on-device plane construction."""
+    if "f32" not in _DEV_TABLES:
+        import jax.numpy as jnp
+
+        from mgl_tpu.core.context import CTX_F32
+
+        _DEV_TABLES["f32"] = (
+            jnp.asarray(np.asarray(CTX_F32.ph2pr, np.float32)),
+            jnp.asarray(np.asarray(CTX_F32.match_to_match, np.float32)),
+            jnp.asarray(BASE_ENC.astype(np.int32)),
+        )
+    return _DEV_TABLES["f32"]
+
+
+def _read_planes_device(q, i, d, c, bases, rslen, ph2pr, m2m, enc,
+                        *, Rb: int, Bp: int):
+    """Device-side re-derivation of pack_reads_for_product (+
+    core.context.read_transition_rows): the host ships only the four raw
+    quality tracks and bases (5 bytes/base) instead of 8 f32 planes
+    (32 bytes/base); the table gathers and row shifts run on device.
+    Bit-identical to the host packer (same f32 table values and op
+    order).  Inputs (n, rmax) uint8; returns kernel-order planes
+    ((Rb, Bp) x8 f32), rchar (Rb, Bp) i32, rslen (1, Bp) i32,
+    pgapm1 (1, Bp) f32."""
+    import jax.numpy as jnp
+
+    n, rmax = q.shape
+    qi = (q & np.uint8(127)).astype(jnp.int32)
+    ii = (i & np.uint8(127)).astype(jnp.int32)
+    di = (d & np.uint8(127)).astype(jnp.int32)
+    ci = (c & np.uint8(127)).astype(jnp.int32)
+    mn = jnp.minimum(ii, di)
+    mx = jnp.maximum(ii, di)
+    p_mm = m2m[((mx * (mx + 1)) >> 1) + mn]
+    p_gapm = jnp.float32(1.0) - ph2pr[ci]
+    p_mx = ph2pr[ii]
+    p_my = ph2pr[di]
+    p_zz = ph2pr[ci]
+    distm = ph2pr[qi]
+
+    z1 = jnp.zeros((n, 1), jnp.float32)
+    zrow = lambda a: jnp.concatenate([z1, a], axis=1)   # leading zero row
+    col = jnp.arange(rmax + 1, dtype=jnp.int32)[None, :]
+    live = col <= rslen[:, None].astype(jnp.int32)
+    lrow = lambda a: jnp.where(live, zrow(a), 0.0)
+    dm = jnp.where(live, jnp.float32(1.0) - zrow(distm), 0.0)
+    dmm = jnp.where(live, zrow(distm) * np.float32(1.0 / 3.0), 0.0)
+    p_mm_r, p_gapm_r = lrow(p_mm), lrow(p_gapm)
+    p_mx_r, p_my_r, p_zz_r = lrow(p_mx), lrow(p_my), lrow(p_zz)
+
+    def dev(a, drop):
+        src = a.T[drop:]
+        return jnp.zeros((Rb, Bp), jnp.float32).at[
+            : rmax + 1 - drop, :n].set(src)
+
+    planes = (dev(p_mm_r, 2), dev(p_gapm_r, 2), dev(p_mx_r, 2),
+              dev(p_zz_r, 2), dev(p_my_r, 1), dev(p_zz_r, 1),
+              dev(dm, 1), dev(dmm, 1))
+    rchar = jnp.zeros((Rb, Bp), jnp.int32).at[:rmax, :n].set(
+        enc[bases.astype(jnp.int32)].T)
+    rsl = jnp.zeros((1, Bp), jnp.int32).at[0, :n].set(
+        rslen.astype(jnp.int32))
+    pgapm1 = jnp.zeros((1, Bp), jnp.float32).at[0, :n].set(p_gapm_r[:, 1])
+    return planes, rchar, rsl, pgapm1
+
+
+def _stack_tracks(reads: list[dict]):
+    """(n, rmax) uint8 track matrices (q, i, d, c, bases) + rslen."""
+    n = len(reads)
+    lens = np.array([len(r["bases"]) for r in reads], np.int32)
+    rmax = int(lens.max()) if n else 0
+    if (lens == rmax).all():
+        mats = tuple(np.stack([np.asarray(r[k], np.uint8) for r in reads])
+                     for k in ("q", "i", "d", "c", "bases"))
+        return mats + (lens,)
+    out = [np.zeros((n, rmax), np.uint8) for _ in range(5)]
+    for k, r in enumerate(reads):
+        for j, key in enumerate(("q", "i", "d", "c", "bases")):
+            out[j][k, : lens[k]] = r[key]
+    return (*out, lens)
+
+
+@functools.partial(jax.jit, static_argnames=("Rb", "Bp", "scp", "band",
+                                             "interpret"))
+def _shared_forward_tracks(hstream, segtab, q, i, d, c, bases, rslen,
+                           y_shared, ph2pr, m2m, enc,
+                           *, Rb, Bp, scp, band, interpret):
+    """Shared-hap-set forward with on-device plane construction."""
+    planes, rchar, rsl, pgapm1 = _read_planes_device(
+        q, i, d, c, bases, rslen, ph2pr, m2m, enc, Rb=Rb, Bp=Bp)
+    u0 = y_shared * pgapm1
+    return pairhmm_pallas_shared(hstream, rchar, rsl, segtab, *planes, u0,
+                                 scp=scp, band=band, interpret=interpret)
+
+
 def pack_haps_for_product(haps: list[np.ndarray], band: int = 32):
     """Per-hap planes: (hap_planes (HR, n) int32 one-hot, haplen (1, n),
     y_init (1, n) f32)."""
@@ -1095,31 +1189,52 @@ def pack_haps_for_product(haps: list[np.ndarray], band: int = 32):
     return hp, haplen, y_init
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("Rb", "band", "interpret", "stream",
+                                    "stream_carry"))
+def _product_forward_tracks(q, i, d, c, bases, rlens,
+                            hp, haplen, y_init, ridx, hidx,
+                            ph2pr, m2m, enc, *, Rb, band, interpret,
+                            stream, stream_carry):
+    """Product expansion with on-device plane construction from raw
+    quality tracks (see _read_planes_device)."""
+    planes, rchar, rsl, pgapm1 = _read_planes_device(
+        q, i, d, c, bases, rlens, ph2pr, m2m, enc, Rb=Rb, Bp=q.shape[0])
+    return _product_forward(
+        planes, rchar, rsl, pgapm1, hp, haplen, y_init, ridx, hidx,
+        band=band, interpret=interpret, stream=stream,
+        stream_carry=stream_carry)
+
+
 def forward_scores_product(reads: list[dict], haps: list[np.ndarray],
                            pair_index: list[tuple[int, int]],
                            band: int = 32,
                            stream: bool = False,
                            stream_carry: bool = False) -> np.ndarray:
     """(B,) f32 scaled scores for arbitrary (read, hap) pairs with
-    device-side product expansion."""
+    device-side product expansion (raw tracks ship; planes build on
+    device)."""
     import jax.numpy as jnp
 
     B = len(pair_index)
     Bp = _round_up(max(B, 1), LANES)
-    planes, rchar, rslen, pgapm1 = pack_reads_for_product(reads, band)
+    q, i, d, c, bases, rlens = _stack_tracks(reads)
+    Rb = _round_up(int(rlens.max()), band)
     hp, haplen, y_init = pack_haps_for_product(haps, band)
     # the hap plane must cover Rb's ramp: HR >= hmax + band already
+    pi = np.asarray(pair_index, np.int64).reshape(-1, 2)
     ridx = np.zeros(Bp, np.int64)
     hidx = np.zeros(Bp, np.int64)
-    for b, (ri, hi) in enumerate(pair_index):
-        ridx[b], hidx[b] = ri, hi
+    ridx[:B], hidx[:B] = pi[:, 0], pi[:, 1]
     # pad lanes replicate pair 0 (harmless, ignored on output)
-    score = _product_forward(
-        tuple(jnp.asarray(p) for p in planes), jnp.asarray(rchar),
-        jnp.asarray(rslen), jnp.asarray(pgapm1),
+    ph2pr, m2m, enc = _ctx_tables_f32()
+    score = _product_forward_tracks(
+        jnp.asarray(q), jnp.asarray(i), jnp.asarray(d), jnp.asarray(c),
+        jnp.asarray(bases), jnp.asarray(rlens),
         jnp.asarray(hp), jnp.asarray(np.maximum(haplen, 1)),
         jnp.asarray(y_init),
-        jnp.asarray(ridx), jnp.asarray(hidx), band=band,
+        jnp.asarray(ridx), jnp.asarray(hidx), ph2pr, m2m, enc, Rb=Rb,
+        band=band,
         interpret=env_interpret(), stream=stream, stream_carry=stream_carry)
     return np.asarray(score)[0, :B]
 

@@ -59,51 +59,188 @@ def _xf_roll(a: XF) -> XF:
 
 
 def _pairhmm_banded_xf_kernel(
-    hap_ref, rchar_ref, rslen_ref, haplen_ref, tlo_ref, thi_ref,
-    hi_ref, lo_ref, ee_ref,          # (8, Rb, LANES) transition planes
-    u0h_ref, u0l_ref, u0e_ref,       # (1, LANES) yInit * pGapM[1]
-    sh_ref, sl_ref, se_ref,          # outs: score triple (1, LANES)
-    carry_ref,                       # scratch (2, 6, Hcp, LANES) f32
-    *, BH: int, NB: int, NT: int, Hcp: int, HR: int,
+    *refs,
+    BH: int, NB: int, NT: int, Hcp: int, HR: int, stream: bool = False,
+    stream_carry: bool = False, CW: int = 256,
 ):
+    """Banded xfloat wavefront; ref layout mirrors the f32 kernel
+    (kernels/pairhmm_pallas._pairhmm_banded_kernel):
+
+    * base mode: carry scratch (2, 6, Hcp, LANES) — 6 f32 planes =
+      (U, W) x (hi, lo, e-bitcast);
+    * ``stream`` (long reads): the (8, Rb, Bp) hi/lo/e transition-plane
+      stacks and read chars live in HBM; (8, BH, LANES) band slices DMA
+      through double-buffered VMEM scratch;
+    * ``stream_carry`` (long haps): the 6-plane inter-band carry and the
+      hap char plane live in HBM (carry as a pl.ANY ride-along output
+      right after the score triple); CW-column windows DMA through VMEM
+      with the same chunk gating as the f32 kernel.
+    """
+    refs = list(refs)
+    if stream_carry:
+        cr_win, cw_win, hp_win, cr_sem, cw_sem, hp_sem = refs[-6:]
+        refs = refs[:-6]
+    if stream:
+        (hap_ref, rchar_ref, rslen_ref, haplen_ref, tlo_ref, thi_ref,
+         hi_ref, lo_ref, ee_ref, u0h_ref, u0l_ref, u0e_ref,
+         sh_ref, sl_ref, se_ref, carry_ref,
+         fh_buf, fl_buf, fe_buf, rc_buf,
+         fh_sem, fl_sem, fe_sem, rc_sem) = refs
+
+        def _band_dma(b, slot):
+            tile0 = pl.program_id(0) * LANES
+            lanes = pl.ds(tile0, LANES)
+            rows = pl.ds(b * BH, BH)
+            return (
+                pltpu.make_async_copy(hi_ref.at[:, rows, lanes],
+                                      fh_buf.at[slot], fh_sem.at[slot]),
+                pltpu.make_async_copy(lo_ref.at[:, rows, lanes],
+                                      fl_buf.at[slot], fl_sem.at[slot]),
+                pltpu.make_async_copy(ee_ref.at[:, rows, lanes],
+                                      fe_buf.at[slot], fe_sem.at[slot]),
+                pltpu.make_async_copy(rchar_ref.at[rows, lanes],
+                                      rc_buf.at[slot], rc_sem.at[slot]),
+            )
+
+        for d in _band_dma(0, 0):
+            d.start()
+    else:
+        (hap_ref, rchar_ref, rslen_ref, haplen_ref, tlo_ref, thi_ref,
+         hi_ref, lo_ref, ee_ref, u0h_ref, u0l_ref, u0e_ref,
+         sh_ref, sl_ref, se_ref, carry_ref) = refs
     row = jax.lax.broadcasted_iota(jnp.int32, (BH, LANES), 0)
     row0 = row == 0
     rsl_row = rslen_ref[0:1, :]
     hl_row = haplen_ref[0:1, :]
     u0 = XF(u0h_ref[0:1, :], u0l_ref[0:1, :], u0e_ref[0:1, :])
     TRASH = Hcp - 1
+    tile = pl.program_id(0)
 
-    # prefill read buffer 0: U = u0 at every column (row-0 boundary),
-    # W = xf zero; write buffer 1: xf zeros
-    zcol = jnp.zeros((1, 1, Hcp, LANES), jnp.float32)
-    ezcol = jnp.full((1, 1, Hcp, LANES), np.int32(E_ZERO), jnp.int32)
-    carry_ref[0:1, 0:1] = jnp.broadcast_to(u0.hi, (Hcp, LANES))[None, None]
-    carry_ref[0:1, 1:2] = jnp.broadcast_to(u0.lo, (Hcp, LANES))[None, None]
-    carry_ref[0:1, 2:3] = _b2f(
-        jnp.broadcast_to(u0.e, (Hcp, LANES)))[None, None]
-    carry_ref[0:1, 3:4] = zcol
-    carry_ref[0:1, 4:5] = zcol
-    carry_ref[0:1, 5:6] = _b2f(ezcol)
-    carry_ref[1:2, 0:1] = zcol
-    carry_ref[1:2, 1:2] = zcol
-    carry_ref[1:2, 2:3] = _b2f(ezcol)
-    carry_ref[1:2, 3:4] = zcol
-    carry_ref[1:2, 4:5] = zcol
-    carry_ref[1:2, 5:6] = _b2f(ezcol)
+    if stream_carry:
+        Hcph = carry_ref.shape[2]
+        n_ck = Hcph // CW
+        kr_max = (NT + 1) // CW          # last carry chunk any read touches
+        kh_max = NT // CW                # last hap chunk any read touches
+        kw_last = max(NT - BH + 1, 1) // CW   # last carry chunk written
+
+        def _cr_dma(k, rd):
+            return pltpu.make_async_copy(
+                carry_ref.at[pl.ds(rd, 1), :, pl.ds(k * CW, CW), :],
+                cr_win.at[pl.ds(k % 2, 1)],
+                cr_sem.at[k % 2],
+            )
+
+        def _cw_dma(k, wr, slot):
+            return pltpu.make_async_copy(
+                cw_win.at[pl.ds(slot, 1), :, pl.ds(0, CW)],
+                carry_ref.at[pl.ds(wr, 1), :, pl.ds(k * CW, CW), :],
+                cw_sem.at[slot],
+            )
+
+        def _hp_dma(k):
+            return pltpu.make_async_copy(
+                hap_ref.at[pl.ds(k * CW, CW), pl.ds(tile * LANES, LANES)],
+                hp_win.at[k % 2],
+                hp_sem.at[k % 2],
+            )
+
+        # prefill both HBM carry buffers chunk by chunk: buffer 0 is the
+        # row-0 boundary (U = u0, W = xf zero); buffer 1 xf zeros
+        zb = jnp.broadcast_to(u0.hi * 0.0, (CW, LANES))
+        ezb = _b2f(jnp.broadcast_to(jnp.minimum(u0.e, 0) * 0
+                                    + np.int32(E_ZERO), (CW, LANES)))
+
+        def _init_ck(k, _):
+            cw_win[0:1, 0:1, pl.ds(0, CW)] = \
+                jnp.broadcast_to(u0.hi, (CW, LANES))[None, None]
+            cw_win[0:1, 1:2, pl.ds(0, CW)] = \
+                jnp.broadcast_to(u0.lo, (CW, LANES))[None, None]
+            cw_win[0:1, 2:3, pl.ds(0, CW)] = _b2f(
+                jnp.broadcast_to(u0.e, (CW, LANES)))[None, None]
+            cw_win[0:1, 3:4, pl.ds(0, CW)] = zb[None, None]
+            cw_win[0:1, 4:5, pl.ds(0, CW)] = zb[None, None]
+            cw_win[0:1, 5:6, pl.ds(0, CW)] = ezb[None, None]
+            cp = _cw_dma(k, 0, 0)
+            cp.start()
+            cp.wait()
+            cw_win[0:1, 0:1, pl.ds(0, CW)] = zb[None, None]
+            cw_win[0:1, 1:2, pl.ds(0, CW)] = zb[None, None]
+            cw_win[0:1, 2:3, pl.ds(0, CW)] = ezb[None, None]
+            cp = _cw_dma(k, 1, 0)
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_ck, _init_ck, 0)
+    else:
+        # prefill read buffer 0: U = u0 at every column (row-0 boundary),
+        # W = xf zero; write buffer 1: xf zeros
+        zcol = jnp.zeros((1, 1, Hcp, LANES), jnp.float32)
+        ezcol = jnp.full((1, 1, Hcp, LANES), np.int32(E_ZERO), jnp.int32)
+        carry_ref[0:1, 0:1] = jnp.broadcast_to(u0.hi,
+                                               (Hcp, LANES))[None, None]
+        carry_ref[0:1, 1:2] = jnp.broadcast_to(u0.lo,
+                                               (Hcp, LANES))[None, None]
+        carry_ref[0:1, 2:3] = _b2f(
+            jnp.broadcast_to(u0.e, (Hcp, LANES)))[None, None]
+        carry_ref[0:1, 3:4] = zcol
+        carry_ref[0:1, 4:5] = zcol
+        carry_ref[0:1, 5:6] = _b2f(ezcol)
+        carry_ref[1:2, 0:1] = zcol
+        carry_ref[1:2, 1:2] = zcol
+        carry_ref[1:2, 2:3] = _b2f(ezcol)
+        carry_ref[1:2, 3:4] = zcol
+        carry_ref[1:2, 4:5] = zcol
+        carry_ref[1:2, 5:6] = _b2f(ezcol)
 
     def band(b, acc):
-        r = pl.ds(b * BH, BH)
-        rch = rchar_ref[r]
-        pln = [XF(hi_ref[pl.ds(p, 1), r][0], lo_ref[pl.ds(p, 1), r][0],
-                  ee_ref[pl.ds(p, 1), r][0]) for p in range(8)]
+        if stream:
+            rd2 = b % 2
+            for d in _band_dma(b, rd2):
+                d.wait()
+
+            @pl.when(b + 1 < NB)
+            def _prefetch():
+                for d in _band_dma(b + 1, (b + 1) % 2):
+                    d.start()
+
+            fh = fh_buf[pl.ds(rd2, 1)][0]
+            fl = fl_buf[pl.ds(rd2, 1)][0]
+            fe = fe_buf[pl.ds(rd2, 1)][0]
+            rch = rc_buf[pl.ds(rd2, 1)][0]
+            pln = [XF(fh[p], fl[p], fe[p]) for p in range(8)]
+        else:
+            r = pl.ds(b * BH, BH)
+            rch = rchar_ref[r]
+            pln = [XF(hi_ref[pl.ds(p, 1), r][0], lo_ref[pl.ds(p, 1), r][0],
+                      ee_ref[pl.ds(p, 1), r][0]) for p in range(8)]
         pmm_u, pgapm_u, pmx_u, pzz_u, pmy, pzz, dmb, dmmb = pln
         mask_last = (row + b * BH + 1) == rsl_row
         rd = b % 2
         wr = (b + 1) % 2
+        if stream_carry:
+            # per-band window resets: carry reads restart at column 1 and
+            # hap reads at row 0 every band
+            _cr_dma(0, rd).start()
+            if kr_max >= 1:
+                _cr_dma(1, rd).start()
+            _hp_dma(0).start()
+            if kh_max >= 1:
+                _hp_dma(1).start()
+            _cr_dma(0, rd).wait()
+            _hp_dma(0).wait()
 
-        def cread(stream, idx):
+        def cread(stream_i, idx):
             # stream 0 = U (planes 0-2), 1 = W (planes 3-5)
-            p0 = 3 * stream
+            p0 = 3 * stream_i
+            if stream_carry:
+                w = pl.ds((idx // CW) % 2, 1)
+                c = pl.ds(idx % CW, 1)
+                return XF(
+                    cr_win[w, pl.ds(p0, 1), c][0, 0],
+                    cr_win[w, pl.ds(p0 + 1, 1), c][0, 0],
+                    _f2b(cr_win[w, pl.ds(p0 + 2, 1), c][0, 0]),
+                )
             return XF(
                 carry_ref[pl.ds(rd, 1), pl.ds(p0, 1), pl.ds(idx, 1)][0, 0],
                 carry_ref[pl.ds(rd, 1), pl.ds(p0 + 1, 1),
@@ -128,7 +265,10 @@ def _pairhmm_banded_xf_kernel(
         u_p = bsel(row0, cread(0, 1), zero)
         w_p = bsel(row0, cread(1, 1), zero)
         m_un, y_un = zero, zero
-        hd = jnp.where(row0, hap_ref[0:1, :], 0)
+        if stream_carry:
+            hd = jnp.where(row0, hp_win[pl.ds(0, 1), 0:1, :][0], 0)
+        else:
+            hd = jnp.where(row0, hap_ref[0:1, :], 0)
 
         def step(t, carry, *, sample: bool = True):
             m_un, y_un, w_p, u_p, u_pp, hd, acc = carry
@@ -161,31 +301,87 @@ def _pairhmm_banded_xf_kernel(
             u_sh = _xf_roll(u)
             w_sh = _xf_roll(w)
 
-            st = t - BH + 2
-            st = jnp.where(st >= 1, st, TRASH)
-            carry_ref[pl.ds(wr, 1), 0:1, pl.ds(st, 1)] = \
-                u_sh.hi[0:1][None, None]
-            carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = \
-                u_sh.lo[0:1][None, None]
-            carry_ref[pl.ds(wr, 1), 2:3, pl.ds(st, 1)] = \
-                _b2f(u_sh.e[0:1])[None, None]
-            carry_ref[pl.ds(wr, 1), 3:4, pl.ds(st, 1)] = \
-                w_sh.hi[0:1][None, None]
-            carry_ref[pl.ds(wr, 1), 4:5, pl.ds(st, 1)] = \
-                w_sh.lo[0:1][None, None]
-            carry_ref[pl.ds(wr, 1), 5:6, pl.ds(st, 1)] = \
-                _b2f(w_sh.e[0:1])[None, None]
+            st0 = t - BH + 2
+            if stream_carry:
+                # windowed carry write (f32 kernel's chunk gating): row
+                # st0 lands in chunk kw of the write window; full (or
+                # final-partial) chunks flush to HBM by async DMA;
+                # pre-wavefront steps write the window's trash row (CW)
+                valid_w = st0 >= 1
+                kw = jnp.maximum(st0, 0) // CW
+                slot_w = kw % 2
+                stw = jnp.where(valid_w, st0 - kw * CW, CW)
 
-            ld = jnp.minimum(t + 2, Hcp - 1)
-            u_sh = bsel(row0, cread(0, ld), u_sh)
-            w_sh = bsel(row0, cread(1, ld), w_sh)
+                @pl.when(valid_w & (st0 == kw * CW) & (kw >= 2))
+                def _gate_w():
+                    _cw_dma(kw - 2, wr, slot_w).wait()
 
-            hrow = hap_ref[pl.ds(jnp.minimum(t + 1, HR - 1), 1), :]
+                sw = pl.ds(slot_w, 1)
+                cw_win[sw, 0:1, pl.ds(stw, 1)] = u_sh.hi[0:1][None, None]
+                cw_win[sw, 1:2, pl.ds(stw, 1)] = u_sh.lo[0:1][None, None]
+                cw_win[sw, 2:3, pl.ds(stw, 1)] = \
+                    _b2f(u_sh.e[0:1])[None, None]
+                cw_win[sw, 3:4, pl.ds(stw, 1)] = w_sh.hi[0:1][None, None]
+                cw_win[sw, 4:5, pl.ds(stw, 1)] = w_sh.lo[0:1][None, None]
+                cw_win[sw, 5:6, pl.ds(stw, 1)] = \
+                    _b2f(w_sh.e[0:1])[None, None]
+
+                @pl.when(valid_w & ((st0 - kw * CW == CW - 1)
+                                    | (t == NT - 1)))
+                def _flush_w():
+                    _cw_dma(kw, wr, slot_w).start()
+
+                ld = jnp.minimum(t + 2, Hcp - 1)
+                kr = ld // CW
+
+                @pl.when(ld % CW == 0)
+                def _gate_r():
+                    _cr_dma(kr, rd).wait()
+
+                @pl.when((ld % CW == 0) & (kr + 1 <= kr_max))
+                def _pref_r():
+                    _cr_dma(kr + 1, rd).start()
+
+                u_sh = bsel(row0, cread(0, ld), u_sh)
+                w_sh = bsel(row0, cread(1, ld), w_sh)
+
+                th = t + 1
+                kh = th // CW
+
+                @pl.when(th % CW == 0)
+                def _gate_h():
+                    _hp_dma(kh).wait()
+
+                @pl.when((th % CW == 0) & (kh + 1 <= kh_max))
+                def _pref_h():
+                    _hp_dma(kh + 1).start()
+
+                hrow = hp_win[pl.ds(kh % 2, 1),
+                              pl.ds(th - kh * CW, 1), :][0]
+            else:
+                st = jnp.where(st0 >= 1, st0, TRASH)
+                carry_ref[pl.ds(wr, 1), 0:1, pl.ds(st, 1)] = \
+                    u_sh.hi[0:1][None, None]
+                carry_ref[pl.ds(wr, 1), 1:2, pl.ds(st, 1)] = \
+                    u_sh.lo[0:1][None, None]
+                carry_ref[pl.ds(wr, 1), 2:3, pl.ds(st, 1)] = \
+                    _b2f(u_sh.e[0:1])[None, None]
+                carry_ref[pl.ds(wr, 1), 3:4, pl.ds(st, 1)] = \
+                    w_sh.hi[0:1][None, None]
+                carry_ref[pl.ds(wr, 1), 4:5, pl.ds(st, 1)] = \
+                    w_sh.lo[0:1][None, None]
+                carry_ref[pl.ds(wr, 1), 5:6, pl.ds(st, 1)] = \
+                    _b2f(w_sh.e[0:1])[None, None]
+
+                ld = jnp.minimum(t + 2, Hcp - 1)
+                u_sh = bsel(row0, cread(0, ld), u_sh)
+                w_sh = bsel(row0, cread(1, ld), w_sh)
+
+                hrow = hap_ref[pl.ds(jnp.minimum(t + 1, HR - 1), 1), :]
             hd = jnp.where(row0, hrow, pltpu.roll(hd, 1, 0))
 
             return (m_cur, y_cur, w_sh, u_sh, u_p, hd, acc)
 
-        tile = pl.program_id(0)
         t_lo = jnp.clip(tlo_ref[b, tile], 0, NT)
         t_hi = jnp.clip(thi_ref[b, tile], t_lo, NT)
         carry = (m_un, y_un, w_p, u_p, u_pp, hd, acc)
@@ -193,6 +389,12 @@ def _pairhmm_banded_xf_kernel(
         carry = jax.lax.fori_loop(0, t_lo, nos, carry)
         carry = jax.lax.fori_loop(t_lo, t_hi, step, carry)
         carry = jax.lax.fori_loop(t_hi, NT, nos, carry)
+        if stream_carry:
+            # drain this band's last two write flushes so the next band's
+            # reads of this buffer observe completed HBM state
+            _cw_dma(kw_last, wr, kw_last % 2).wait()
+            if kw_last >= 1:
+                _cw_dma(kw_last - 1, wr, (kw_last - 1) % 2).wait()
         return carry[-1]
 
     zacc = XF(u0.hi * 0.0, u0.hi * 0.0,
@@ -203,7 +405,8 @@ def _pairhmm_banded_xf_kernel(
     se_ref[:] = acc.e
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+@functools.partial(jax.jit, static_argnames=("band", "interpret", "stream",
+                                             "stream_carry", "carry_window"))
 def pairhmm_pallas_banded_xf(
     hap,        # (HR, Bp) int32 RAW hap chars (row t = hap base t)
     rchar,      # (Rb, Bp) int32 raw read chars (row k = read base k+1)
@@ -211,11 +414,18 @@ def pairhmm_pallas_banded_xf(
     hi_planes, lo_planes,        # (8, Rb, Bp) f32
     e_planes,                    # (8, Rb, Bp) int32
     u0h, u0l, u0e,               # (1, Bp)
-    *, band: int = 32, interpret: bool = False,
+    *, band: int = 32, interpret: bool = False, stream: bool = False,
+    stream_carry: bool = False, carry_window: int = 256,
 ):
     """Banded-wavefront extended-range forward.  Returns the (1, Bp)
     score triple (hi, lo, e).  Chars are RAW bytes matched like the spec
-    (equality or N-wildcard folded into one-hot upstream)."""
+    (equality or N-wildcard folded into one-hot upstream).
+
+    ``stream`` streams the transition-plane stacks per band from HBM
+    (VMEM independent of read length); ``stream_carry`` keeps the
+    6-plane inter-band carry and hap plane in HBM with CW-column
+    windows (VMEM independent of hap length) — same tiers as the f32
+    production kernel."""
     Rb, Bp = rchar.shape
     HR = hap.shape[0]
     BH = band
@@ -224,6 +434,10 @@ def pairhmm_pallas_banded_xf(
     NT = H + BH - 1
     Hcp = _round_up(H + BH + 4, 8)
     n_tiles = Bp // LANES
+
+    CW = carry_window
+    if stream_carry and HR % CW:
+        hap = jnp.pad(hap, ((0, _round_up(HR, CW) - HR), (0, 0)))
 
     # per-(band, tile) last-row sampling windows (same derivation as the
     # f32 wrapper)
@@ -247,33 +461,77 @@ def pairhmm_pallas_banded_xf(
     sm = pl.BlockSpec((NB, n_tiles), lambda i: (0, 0),
                       memory_space=pltpu.SMEM)
     kernel = functools.partial(_pairhmm_banded_xf_kernel, BH=BH, NB=NB,
-                               NT=NT, Hcp=Hcp, HR=HR)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            vm((HR, LANES)), vm((Rb, LANES)), vm((1, LANES)), vm((1, LANES)),
+                               NT=NT, Hcp=Hcp, HR=HR, stream=stream,
+                               stream_carry=stream_carry, CW=CW)
+
+    score_spec = pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM)
+    out_specs = [score_spec, score_spec, score_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+        jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+    ]
+    # the HBM carry rides as a pl.ANY output right after the score triple
+    # (Mosaic allows no HBM scratch); its flattened ref position matches
+    # the carry-as-first-scratch layout the kernel unpacks
+    if stream_carry:
+        Hcph = _round_up(Hcp, CW)
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((2, 6, Hcph, LANES), jnp.float32))
+        carry_scratch = []
+        hap_spec = pl.BlockSpec(memory_space=pl.ANY)
+        win_scratch = [
+            pltpu.VMEM((2, 6, CW, LANES), jnp.float32),      # carry read
+            pltpu.VMEM((2, 6, CW + 8, LANES), jnp.float32),  # carry write
+            pltpu.VMEM((2, CW, LANES), jnp.int32),           # hap window
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        carry_scratch = [pltpu.VMEM((2, 6, Hcp, LANES), jnp.float32)]
+        hap_spec = vm((hap.shape[0], LANES))
+        win_scratch = []
+    if stream:
+        in_specs = [
+            hap_spec, pl.BlockSpec(memory_space=pl.ANY),
+            vm((1, LANES)), vm((1, LANES)),
+            sm, sm,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            vm((1, LANES)), vm((1, LANES)), vm((1, LANES)),
+        ]
+        scratch = carry_scratch + [
+            pltpu.VMEM((2, 8, BH, LANES), jnp.float32),   # hi band buf
+            pltpu.VMEM((2, 8, BH, LANES), jnp.float32),   # lo band buf
+            pltpu.VMEM((2, 8, BH, LANES), jnp.int32),     # e band buf
+            pltpu.VMEM((2, BH, LANES), jnp.int32),        # read chars
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ] + win_scratch
+    else:
+        in_specs = [
+            hap_spec, vm((Rb, LANES)), vm((1, LANES)), vm((1, LANES)),
             sm, sm,
             vm3((8, Rb, LANES)), vm3((8, Rb, LANES)), vm3((8, Rb, LANES)),
             vm((1, LANES)), vm((1, LANES)), vm((1, LANES)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), col, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 6, Hcp, LANES), jnp.float32),
-        ],
+        ]
+        scratch = carry_scratch + win_scratch
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=_imode(interpret),
     )(hap, rchar, rslen, haplen, tlo.astype(jnp.int32),
       thi.astype(jnp.int32), hi_planes, lo_planes, e_planes, u0h, u0l, u0e)
-    return XF(*outs)
+    return XF(outs[0], outs[1], outs[2])
 
 
 def _xf_fits_vmem(rdlen: int, haplen: int, budget_mb: float = 12.0) -> bool:
@@ -285,10 +543,22 @@ def _xf_fits_vmem(rdlen: int, haplen: int, budget_mb: float = 12.0) -> bool:
     return est <= budget_mb * 1e6
 
 
-@functools.partial(jax.jit, static_argnames=("band", "interpret"))
+def _xf_fits_stream(rdlen: int, haplen: int, budget_mb: float = 14.0) -> bool:
+    """Envelope of the HBM-streaming xf kernel: read length drops out
+    (plane stacks stream per band); the 12-plane carry + hap rows stay
+    hap-length bound.  Past this, stream_carry windows the carry too and
+    no length falls back to the scan."""
+    hr = haplen + 40
+    est = (hr + 12 * hr + 25 * 2 * 32 + 256) * 128 * 4
+    return est <= budget_mb * 1e6
+
+
+@functools.partial(jax.jit, static_argnames=("band", "interpret", "stream",
+                                             "stream_carry"))
 def _xf_product_forward(hap, haplen, yih, yil, yie,
                         rchar, rslen, hi_p, lo_p, e_p, g1h, g1l, g1e,
-                        ridx, hidx, *, band: int, interpret: bool):
+                        ridx, hidx, *, band: int, interpret: bool,
+                        stream: bool = False, stream_carry: bool = False):
     """Device-side product expansion for the xfloat kernel: per-read
     planes and per-hap columns ship once; lanes gather on device (the
     transfer, not the DP, dominates rescue batches through a host link).
@@ -302,25 +572,132 @@ def _xf_product_forward(hap, haplen, yih, yil, yie,
                 XF(g1h[:, ridx], g1l[:, ridx], g1e[:, ridx]))
     return pairhmm_pallas_banded_xf(
         hp, rc, rl, hl, planes.hi, planes.lo, planes.e,
-        u0.hi, u0.lo, u0.e, band=band, interpret=interpret)
+        u0.hi, u0.lo, u0.e, band=band, interpret=interpret,
+        stream=stream, stream_carry=stream_carry)
+
+
+_XF_TABLES: dict = {}
+
+
+def _xf_tables():
+    """Device-resident xf-split CTX_F64 tables: every transition plane is
+    a pure gather from one of these (the f64 arithmetic — 1-q, q/3,
+    match-to-match — is pre-applied on host ONCE, so the device needs no
+    f64 support and the gathered triples are bit-identical to the host
+    packer's xf_split of the per-read f64 rows)."""
+    if not _XF_TABLES:
+        from mgl_tpu.core.context import CTX_F64
+        from mgl_tpu.kernels.pairhmm_pallas import BASE_ENC
+
+        ph = np.asarray(CTX_F64.ph2pr, np.float64)
+        m2m = np.asarray(CTX_F64.match_to_match, np.float64)
+        for name, tab in (("m2m", m2m), ("ph", ph), ("omph", 1.0 - ph),
+                          ("ph3", ph * (1.0 / 3.0))):
+            _XF_TABLES[name] = tuple(jnp.asarray(a) for a in xf_split(tab))
+        _XF_TABLES["enc"] = jnp.asarray(BASE_ENC.astype(np.int32))
+        _XF_TABLES["zero"] = tuple(
+            np.asarray(a).reshape(())[()] for a in xf_split(np.zeros(1)))
+    return _XF_TABLES
+
+
+def _gather_xf(tab, idx) -> XF:
+    return XF(tab[0][idx], tab[1][idx], tab[2][idx])
+
+
+def _read_planes_device_xf(q, i, d, c, bases, rslen, tabs,
+                           *, Rb: int, Bp: int):
+    """Device-side xf plane construction from raw uint8 tracks (the xf
+    analogue of pairhmm_pallas._read_planes_device; plane order and
+    banded row shifts match the host packer this replaces: *_u rows drop
+    2, consumer rows drop 1).  Returns (planes XF of (8, Rb, Bp),
+    rchar (Rb, Bp) i32, rslen (1, Bp) i32, pgapm1 XF of (1, Bp))."""
+    n, rmax = q.shape
+    qi = (q & np.uint8(127)).astype(jnp.int32)
+    ii = (i & np.uint8(127)).astype(jnp.int32)
+    di = (d & np.uint8(127)).astype(jnp.int32)
+    ci = (c & np.uint8(127)).astype(jnp.int32)
+    mn = jnp.minimum(ii, di)
+    mx = jnp.maximum(ii, di)
+    zh, zl, ze = tabs["zero"]
+    # per-base triples (n, rmax), col j = read base j+1
+    vals = (
+        _gather_xf(tabs["m2m"], ((mx * (mx + 1)) >> 1) + mn),  # p_mm
+        _gather_xf(tabs["omph"], ci),                          # p_gapm
+        _gather_xf(tabs["ph"], ii),                            # p_mx
+        _gather_xf(tabs["ph"], di),                            # p_my
+        _gather_xf(tabs["ph"], ci),                            # p_zz
+        _gather_xf(tabs["omph"], qi),                          # dm
+        _gather_xf(tabs["ph3"], qi),                           # dmm
+    )
+    col = jnp.arange(rmax, dtype=jnp.int32)[None, :]
+    live = col < rslen[:, None].astype(jnp.int32)
+
+    def devp(v: XF, drop):
+        # plane row r = base r+drop (1-based) = col r+drop-1; rows past
+        # the read are the xf zero triple (the host packer's 0.0 split)
+        h = jnp.where(live, v.hi, zh)[:, drop - 1:].T
+        l_ = jnp.where(live, v.lo, zl)[:, drop - 1:].T
+        e = jnp.where(live, v.e, ze)[:, drop - 1:].T
+        rows = rmax - (drop - 1)
+        return XF(
+            jnp.full((Rb, Bp), zh, jnp.float32).at[:rows, :n].set(h),
+            jnp.full((Rb, Bp), zl, jnp.float32).at[:rows, :n].set(l_),
+            jnp.full((Rb, Bp), ze, jnp.int32).at[:rows, :n].set(e),
+        )
+
+    p_mm, p_gapm, p_mx, p_my, p_zz, dm, dmm = vals
+    order = ((p_mm, 2), (p_gapm, 2), (p_mx, 2), (p_zz, 2),
+             (p_my, 1), (p_zz, 1), (dm, 1), (dmm, 1))
+    ps = [devp(v, drop) for v, drop in order]
+    planes = XF(jnp.stack([p.hi for p in ps]),
+                jnp.stack([p.lo for p in ps]),
+                jnp.stack([p.e for p in ps]))
+    rchar = jnp.zeros((Rb, Bp), jnp.int32).at[:rmax, :n].set(
+        (tabs["enc"][bases.astype(jnp.int32)] * live).T)
+    rsl = jnp.zeros((1, Bp), jnp.int32).at[0, :n].set(
+        rslen.astype(jnp.int32))
+    g1 = _gather_xf(tabs["omph"], ci[:, 0])
+    pgapm1 = XF(
+        jnp.full((1, Bp), zh, jnp.float32).at[0, :n].set(g1.hi),
+        jnp.full((1, Bp), zl, jnp.float32).at[0, :n].set(g1.lo),
+        jnp.full((1, Bp), ze, jnp.int32).at[0, :n].set(g1.e),
+    )
+    return planes, rchar, rsl, pgapm1
+
+
+@functools.partial(jax.jit, static_argnames=("Rb", "band", "interpret",
+                                             "stream", "stream_carry"))
+def _xf_product_forward_tracks(q, i, d, c, bases, rlens,
+                               hap, haplen, yih, yil, yie,
+                               ridx, hidx, tabs, *, Rb, band, interpret,
+                               stream, stream_carry):
+    planes, rchar, rsl, g1 = _read_planes_device_xf(
+        q, i, d, c, bases, rlens, tabs, Rb=Rb, Bp=q.shape[0])
+    return _xf_product_forward(
+        hap, haplen, yih, yil, yie, rchar, rsl,
+        planes.hi, planes.lo, planes.e, g1.hi, g1.lo, g1.e,
+        ridx, hidx, band=band, interpret=interpret, stream=stream,
+        stream_carry=stream_carry)
 
 
 def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
                             pairs: list[tuple[int, int]],
-                            pad_to: tuple[int, int] | None = None
-                            ) -> np.ndarray:
+                            pad_to: tuple[int, int] | None = None,
+                            stream: bool = False,
+                            stream_carry: bool = False) -> np.ndarray:
     """Banded-kernel rescue scores: (B,) f64, 2^1020-scaled (the drop-in
-    fast path for ops/xfloat.rescue_scores_xf)."""
-    from mgl_tpu.core.context import CTX_F64, read_transition_rows
-    from mgl_tpu.kernels.pairhmm_pallas import BASE_ENC, env_interpret
+    fast path for ops/xfloat.rescue_scores_xf).  The host ships only raw
+    uint8 quality tracks; the xf transition planes are table gathers on
+    device (_read_planes_device_xf)."""
+    from mgl_tpu.core.context import CTX_F64
+    from mgl_tpu.kernels.pairhmm_pallas import (BASE_ENC, _stack_tracks,
+                                                env_interpret)
     from mgl_tpu.ops.xfloat import xf_to_f64
 
     B = len(pairs)
     band = 32
     ur = sorted({ri for ri, _ in pairs})
     uh = sorted({hi for _, hi in pairs})
-    rmap = {r: k for k, r in enumerate(ur)}
-    hmap = {h: k for k, h in enumerate(uh)}
     rmax = max(len(reads[ri]["bases"]) for ri in ur)
     hmax = max(len(haps[hi]) for hi in uh)
     if pad_to is not None:
@@ -328,31 +705,12 @@ def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
     Bp = _round_up(max(B, 1), LANES)
     Rb = _round_up(rmax, band)
     HR = hmax + band
-    R = rmax + 1
-    n_r, n_h = len(ur), len(uh)
+    n_h = len(uh)
 
-    # per-read planes (8, Rb, n_r) f64 in kernel order, with the banded
-    # shifts (prepare_inputs_banded: *_u rows drop 2, consumers drop 1)
-    src = {  # plane -> (track index, drop)
-        0: (0, 2), 1: (1, 2), 2: (2, 2), 3: (4, 2),
-        4: (3, 1), 5: (4, 1), 6: (5, 1), 7: (6, 1),
-    }
-    planes = np.zeros((8, Rb, n_r), np.float64)
-    rchar = np.zeros((Rb, n_r), np.int32)
-    rslen = np.zeros((1, n_r), np.int32)
-    pgapm1 = np.zeros((1, n_r), np.float64)
-    for k, ri in enumerate(ur):
-        rd = reads[ri]
-        t = read_transition_rows(rd["q"], rd["i"], rd["d"], rd["c"], CTX_F64)
-        distm = t[5]
-        tr = t[:5] + (1.0 - distm, distm * (1.0 / 3.0))
-        n = len(rd["bases"])
-        rchar[:n, k] = BASE_ENC[np.asarray(rd["bases"])]
-        rslen[0, k] = n
-        pgapm1[0, k] = tr[1][1]
-        for p, (ti, drop) in src.items():
-            seg = tr[ti][drop:]
-            planes[p, : len(seg), k] = seg
+    q, i, d, c, rbases, rlens = _stack_tracks([reads[ri] for ri in ur])
+    if q.shape[1] < rmax:            # pad tracks to the bucket's rmax
+        padw = ((0, 0), (0, rmax - q.shape[1]))
+        q, i, d, c, rbases = (np.pad(a, padw) for a in (q, i, d, c, rbases))
 
     hap_a = np.zeros((HR, n_h), np.int32)
     haplen = np.zeros((1, n_h), np.int32)
@@ -364,22 +722,22 @@ def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
         y_init[0, k] = float(CTX_F64.initial_constant) / float(len(hp))
     haplen = np.maximum(haplen, 1)
 
+    pi = np.asarray(pairs, np.int64).reshape(-1, 2)
     ridx = np.zeros(Bp, np.int64)
     hidx = np.zeros(Bp, np.int64)
-    for b, (ri, hi) in enumerate(pairs):
-        ridx[b], hidx[b] = rmap[ri], hmap[hi]
+    ridx[:B] = np.searchsorted(np.asarray(ur), pi[:, 0])
+    hidx[:B] = np.searchsorted(np.asarray(uh), pi[:, 1])
 
-    hi_p, lo_p, e_p = xf_split(planes)
-    g1h, g1l, g1e = xf_split(pgapm1)
     yih, yil, yie = xf_split(y_init)
-    score = _xf_product_forward(
+    tabs = _xf_tables()
+    score = _xf_product_forward_tracks(
+        jnp.asarray(q), jnp.asarray(i), jnp.asarray(d), jnp.asarray(c),
+        jnp.asarray(rbases), jnp.asarray(rlens),
         jnp.asarray(hap_a), jnp.asarray(haplen),
         jnp.asarray(yih), jnp.asarray(yil), jnp.asarray(yie),
-        jnp.asarray(rchar), jnp.asarray(rslen),
-        jnp.asarray(hi_p), jnp.asarray(lo_p), jnp.asarray(e_p),
-        jnp.asarray(g1h), jnp.asarray(g1l), jnp.asarray(g1e),
-        jnp.asarray(ridx), jnp.asarray(hidx),
-        band=band, interpret=env_interpret())
+        jnp.asarray(ridx), jnp.asarray(hidx), tabs,
+        Rb=Rb, band=band, interpret=env_interpret(),
+        stream=stream, stream_carry=stream_carry)
     return xf_to_f64(np.asarray(score.hi)[0, :B],
                      np.asarray(score.lo)[0, :B],
                      np.asarray(score.e)[0, :B])

@@ -413,7 +413,8 @@ def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
         return out
 
     from mgl_tpu.batch.bucketing import bucket_pairs
-    from mgl_tpu.kernels.pairhmm_xf_pallas import (_xf_fits_vmem,
+    from mgl_tpu.kernels.pairhmm_xf_pallas import (_xf_fits_stream,
+                                                   _xf_fits_vmem,
                                                    rescue_scores_xf_banded)
     from mgl_tpu.ops.xfloat import rescue_scores_xf
 
@@ -422,12 +423,17 @@ def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
     la = [len(reads[ri]["bases"]) for ri, _ in pairs]
     lb = [len(haps[hi]) for _, hi in pairs]
     for (pa, pb), idxs in bucket_pairs(la, lb):
-        if use_pallas and _xf_fits_vmem(pa, pb):
-            # banded Pallas xfloat kernel (the fast path); the XLA scan
-            # below stays as the any-shape executable spec
+        if use_pallas:
+            # banded Pallas xfloat kernel at every length — same tiers as
+            # the f32 production kernel (vmem -> stream -> stream_carry);
+            # the XLA scan below stays as the any-shape executable spec
+            fits = _xf_fits_vmem(pa, pb)
+            streamable = fits or _xf_fits_stream(pa, pb)
             sub = rescue_scores_xf_banded(reads, haps,
                                           [pairs[k] for k in idxs],
-                                          pad_to=(pa, pb))
+                                          pad_to=(pa, pb),
+                                          stream=not fits,
+                                          stream_carry=not streamable)
         else:
             sub = rescue_scores_xf(reads, haps, [pairs[k] for k in idxs],
                                    pad_to=(pa, pb))
@@ -500,14 +506,15 @@ def compute_likelihoods(
         use_pallas = _use_pallas(impl)
         # full-product batches ride the prefix-sharing shared-hap-set
         # kernel when the work estimate favors it (GATK's call shape)
+        from mgl_tpu.utils.metrics import METRICS
+
         shared = None
         if (use_pallas and not fast_hit and n_h >= 2
                 and len(dp_pairs) == n_r * n_h):
-            shared = _shared_product_scores(reads, haps)
+            with METRICS.timer("engine.f32"):
+                shared = _shared_product_scores(reads, haps)
         if shared is not None:
-            for b in dp_pairs:
-                ri, hi = pair_index[b]
-                scores[b] = shared[ri, hi]
+            scores[dp_pairs] = shared.reshape(-1)[dp_pairs]
             dp_pairs = []
         # length-bucket by (read, hap) pad shape so mixed-length products
         # don't all pay the global maxima (and compiled shapes get reused)
@@ -546,24 +553,20 @@ def compute_likelihoods(
             else:
                 batch = pack_pairs(reads, haps, sub_pairs, pad_to=(pa, pb))
                 sub = forward_scores_xla(batch)
-            for b, s in zip(sel, sub):
-                scores[b] = float(s)
+            scores[np.asarray(sel, np.int64)] = np.asarray(sub, np.float64)
 
     lic32 = float(CTX_F32.log10_initial_constant)
     lic64 = float(CTX_F64.log10_initial_constant)
 
-    rescue = [b for b in range(len(pair_index))
-              if float(scores[b]) < float(MIN_ACCEPTED)]
-    rescue_scores: dict[int, float] = {}
-    if rescue:
-        vals = rescue_tier_scores(reads, haps,
-                                  [pair_index[b] for b in rescue])
-        rescue_scores = dict(zip(rescue, vals))
+    rescue = np.nonzero(scores < float(MIN_ACCEPTED))[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out[:] = (np.log10(scores) - lic32).reshape(n_r, n_h)
+        if len(rescue):
+            from mgl_tpu.utils.metrics import METRICS
 
-    with np.errstate(divide="ignore"):
-        for b, (ri, hi) in enumerate(pair_index):
-            if b in rescue_scores:
-                out[ri, hi] = np.log10(rescue_scores[b]) - lic64
-            else:
-                out[ri, hi] = np.log10(float(scores[b])) - lic32
+            with METRICS.timer("engine.rescue"):
+                vals = rescue_tier_scores(reads, haps,
+                                          [pair_index[b] for b in rescue])
+            flat = out.reshape(-1)
+            flat[rescue] = np.log10(np.asarray(vals, np.float64)) - lic64
     return out

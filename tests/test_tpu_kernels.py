@@ -331,3 +331,33 @@ def test_xfloat_banded_kernel_on_tpu(tpu_backend, pairhmm_golden):
         if wd == 0.0 or got[k] == 0.0:
             continue
         assert abs(math.log10(got[k]) - math.log10(wd)) < 1e-5, k
+
+
+def test_xfloat_streaming_tiers_on_tpu(tpu_backend, pairhmm_golden):
+    """xf stream / stream+stream_carry on real Mosaic DMA: bit-identical
+    f64 scores to the all-VMEM xf kernel on a golden slice plus a
+    long-hap pair that crosses the CW=256 carry window."""
+    from mgl_tpu.kernels.pairhmm_xf_pallas import rescue_scores_xf_banded
+    from tests.conftest import as_u8
+
+    rows = pairhmm_golden[:64]
+    reads = [dict(bases=as_u8(r["read"]), q=np.array(r["q"], np.uint8),
+                  i=np.array(r["i"], np.uint8), d=np.array(r["d"], np.uint8),
+                  c=np.array(r["c"], np.uint8)) for r in rows]
+    haps = [as_u8(r["hap"]) for r in rows]
+    rng = np.random.default_rng(5)
+    bases = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=120)
+    reads.append(dict(bases=bases, q=np.full(120, 30, np.uint8),
+                      i=np.full(120, 45, np.uint8),
+                      d=np.full(120, 45, np.uint8),
+                      c=np.full(120, 10, np.uint8)))
+    hp = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=640)
+    hp[100:220] = bases
+    haps.append(hp)
+    pairs = [(k, k) for k in range(len(reads))]
+    base = rescue_scores_xf_banded(reads, haps, pairs)
+    strm = rescue_scores_xf_banded(reads, haps, pairs, stream=True)
+    both = rescue_scores_xf_banded(reads, haps, pairs, stream=True,
+                                   stream_carry=True)
+    np.testing.assert_array_equal(base, strm)
+    np.testing.assert_array_equal(base, both)
