@@ -886,6 +886,7 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
     if with_cigar and tb_idx:
         # traceback tier: the minority of reads whose optimal alignment
         # isn't the seeded diagonal (indels / edge clips / mis-seeds)
+        METRICS.count("map.tb_reads", len(tb_idx))
         with METRICS.timer("map.traceback"):
             tb = np.asarray(tb_idx, np.int64)
             rsub_tb = np.where(out["strand"][tb, None] == 1,

@@ -90,6 +90,53 @@ def config4(n_reads: int, ref_len: int, chunk: int = 131072,
     }, pos, score
 
 
+def config4_cigar(n_reads: int = 262_144, ref_len: int = 64_000_000,
+                  chunk: int = 131072, read_len: int = 150,
+                  indel_frac: float = 0.02):
+    """Full-CIGAR mapping at scale: every mapped read gets a real CIGAR
+    (certified-diagonal tier for exact/SNP reads, banded traceback for
+    the rest); measures reads/s and tier split."""
+    from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads_stream
+    from mgl_tpu.utils.metrics import METRICS
+
+    rng = np.random.default_rng(4)
+    print(f"[cigar] simulating ref {ref_len/1e6:.0f} Mbp + {n_reads} reads",
+          flush=True)
+    ref, reads, true_pos = simulate(rng, ref_len, n_reads, read_len)
+    # a slice of reads carries a short deletion so the traceback tier is
+    # exercised at scale, like real indel reads
+    n_ind = int(n_reads * indel_frac)
+    for i in range(n_ind):
+        s = true_pos[i]
+        reads[i] = np.concatenate([ref[s: s + 70],
+                                   ref[s + 72: s + read_len + 2]])
+    index = ReferenceIndex.build(ref, k=16)
+    map_reads_stream(index, reads[:chunk], chunk=chunk,
+                     with_cigar=True)              # warm compiles
+    METRICS.reset()
+    t0 = time.time()
+    out = map_reads_stream(index, reads, chunk=chunk, with_cigar=True)
+    t_map = time.time() - t0
+    mapped = out["pos"] >= 0
+    have_cigar = np.array([bool(c) for c in out["cigar"]])
+    n_tb = int(METRICS.counters.get("map.tb_reads", 0))
+    tb_s = METRICS.timers.get("map.traceback", 0.0)
+    assert (have_cigar[mapped]).all(), "mapped read without CIGAR"
+    with_d = sum("D" in out["cigar"][i] or "I" in out["cigar"][i]
+                 for i in range(n_ind) if mapped[i])
+    return {
+        "n_reads": int(n_reads),
+        "map_cigar_s": round(t_map, 2),
+        "reads_per_s": round(n_reads / t_map, 1),
+        "mapped_frac": round(float(mapped.mean()), 4),
+        "cigar_complete": True,
+        "indel_reads": int(n_ind),
+        "indel_cigars_with_gap": int(with_d),
+        "traceback_tier_reads": n_tb,
+        "traceback_tier_s": round(tb_s, 2),
+    }
+
+
 def config5(pos: np.ndarray, score: np.ndarray, n_sort: int = 10_000_000):
     import jax
 
@@ -173,7 +220,24 @@ def main():
     ap.add_argument("--big", action="store_true",
                     help="run only the 512 Mbp reference config "
                          "(the BASELINE config-4 genome-scale step)")
+    ap.add_argument("--cigar", action="store_true",
+                    help="run only the full-CIGAR mapping config")
     args = ap.parse_args()
+
+    if args.cigar:
+        import jax
+
+        rep = {"backend": jax.default_backend(),
+               "config4_cigar": config4_cigar()}
+        out = pathlib.Path(__file__).resolve().parent.parent / \
+            "tests/golden/scale_report.json"
+        if out.exists():
+            old = json.loads(out.read_text())
+            old.update(rep)
+            rep = old
+        out.write_text(json.dumps(rep, indent=1))
+        print(json.dumps({"config4_cigar": rep["config4_cigar"]}))
+        return
 
     if args.big:
         import jax
