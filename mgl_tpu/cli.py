@@ -23,15 +23,16 @@ def map_main():
     ap.add_argument("out_sam")
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--cigar", action="store_true",
-                    help="emit real CIGARs (full traceback) instead of "
-                         "score-only verification")
+                    help="emit real CIGARs (certified-diagonal tier + "
+                         "banded traceback for indel/edge reads) instead "
+                         "of score-only verification")
     ap.add_argument("--max-reads", type=int, default=None)
     args = ap.parse_args()
 
     from mgl_tpu.io.fasta import read_fasta, read_fastq
     from mgl_tpu.io.sam import write_sam
     from mgl_tpu.pipelines.align_sort import align_and_sort
-    from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads
+    from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads_stream
 
     contigs = list(read_fasta(args.ref_fa).items())
     total_bp = sum(len(s) for _, s in contigs)
@@ -66,7 +67,7 @@ def map_main():
 
     t0 = time.time()
     if args.cigar:
-        res = map_reads(index, reads, with_cigar=True)
+        res = map_reads_stream(index, reads, with_cigar=True)
         order = None
     else:
         res = align_and_sort(index, reads)

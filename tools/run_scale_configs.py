@@ -57,12 +57,24 @@ def config4(n_reads: int, ref_len: int, chunk: int = 131072,
 
     # warm the compiled shapes on the first chunk, then stream with
     # host/device overlap
+    from mgl_tpu.utils.metrics import METRICS
+
     t_warm = time.time()
     map_reads_stream(index, reads[:chunk], chunk=chunk)
     t_warm = time.time() - t_warm
+    METRICS.reset()
     t0 = time.time()
     out = map_reads_stream(index, reads, chunk=chunk)
     t_map = time.time() - t0
+    stages = {k.split(".", 1)[1]: round(v, 2)
+              for k, v in METRICS.snapshot()["timers_s"].items()
+              if k.startswith("map.")}
+    # host stage time that is NOT covered by async device work = the
+    # chip-idle fraction question from the round-2 verdict: dispatch is
+    # async, sync blocks on the chip, seed/host_tier run while the chip
+    # verifies the previous chunk
+    stages["host_while_chip_busy"] = round(
+        stages.get("seed", 0) + stages.get("host_tier", 0), 2)
     pos, score = out["pos"], out["score"]
     print(f"  mapped {n_reads} in {t_map:.1f}s "
           f"({n_reads/t_map:.0f} reads/s)", flush=True)
@@ -87,6 +99,7 @@ def config4(n_reads: int, ref_len: int, chunk: int = 131072,
         "window_accuracy": round(float(ok.sum() / max(mapped.sum(), 1)), 4),
         "max_rss_gb": round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 2),
+        "stage_s": stages,
     }, pos, score
 
 
@@ -148,10 +161,14 @@ def config5(pos: np.ndarray, score: np.ndarray, n_sort: int = 10_000_000):
     keys = coordinate_keys(np.zeros(n), pos, np.arange(n) & 0xFFFF)
     vals = np.arange(n, dtype=np.int32)
 
-    # end-to-end: sort the real mapped coordinates on device
+    # end-to-end: sort the real mapped coordinates on device; first call
+    # includes compile, second shows the warmed-cache steady state
     t0 = time.time()
     skeys, order = sort_records_single(keys, vals)
     t_e2e = time.time() - t0
+    t0 = time.time()
+    skeys, order = sort_records_single(keys, vals)
+    t_e2e_warm = time.time() - t0
     assert np.all(skeys[1:] >= skeys[:-1])
     assert np.array_equal(np.sort(keys), skeys)
 
@@ -184,6 +201,7 @@ def config5(pos: np.ndarray, score: np.ndarray, n_sort: int = 10_000_000):
     return {
         "e2e_reads": int(n),
         "e2e_sort_s": round(t_e2e, 3),
+        "e2e_sort_warm_s": round(t_e2e_warm, 3),
         "sort_10m_device_s": round(t_10m, 4),
         "sort_10m_first_call_s": round(t_10m_first, 3),
         "sort_10m_mkeys_per_s": round(n_sort / t_10m / 1e6, 1),
