@@ -203,3 +203,76 @@ def test_pairhmm_long_fuzz_vs_reference():
         want = (math.log10(sf) - 120 * math.log10(2) if sf >= 1e-28
                 else math.log10(sd) - 1020 * math.log10(2))
         assert abs(lik - want) < 1e-5, (k, lik, want)
+
+
+def _cigar_score(cigar: str, window: bytes, read: bytes, offset: int,
+                 m: int, x: int, o: int, e: int) -> int:
+    """Alignment score a CIGAR claims, with the reference's affine
+    convention (gap of length L costs o + (L-1)*e; softclips free)."""
+    import re
+
+    score, ti, qi = 0, offset, 0
+    for n, op in re.findall(r"(\d+)([MIDS])", cigar):
+        n = int(n)
+        if op == "M":
+            for k in range(n):
+                score += m if window[ti + k] == read[qi + k] else x
+            ti += n
+            qi += n
+        elif op == "I":
+            score -= o + (n - 1) * e
+            qi += n
+        elif op == "D":
+            score -= o + (n - 1) * e
+            ti += n
+        else:
+            qi += n
+    return score
+
+
+def test_mapper_cigar_fuzz_vs_reference(monkeypatch):
+    """Streamed CIGAR mapping (certified-diagonal tier + traceback tier)
+    emits alignments whose score equals the reference scalar kernel's
+    optimum on the same (window, read) pair — fresh random reads with
+    SNPs and indels every run."""
+    monkeypatch.setenv("MGL_TPU_PALLAS_INTERPRET", "1")
+    from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads_stream
+
+    rng = np.random.default_rng()
+    ref = rng.choice(ALPHA, size=20_000)
+    idx = ReferenceIndex.build(ref, k=16)
+    N, L = 40, 100
+    starts = rng.integers(50, len(ref) - L - 50, size=N)
+    reads = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    for i in range(N):
+        r = rng.random()
+        if r < 0.4:          # SNPs
+            for _ in range(int(rng.integers(1, 4))):
+                p = int(rng.integers(0, L))
+                reads[i, p] = ALPHA[int(rng.integers(0, 4))]
+        elif r < 0.7:        # small deletion (read skips ref bases)
+            d = int(rng.integers(1, 4))
+            s = starts[i]
+            reads[i] = np.concatenate(
+                [ref[s: s + 50], ref[s + 50 + d: s + 50 + d + L - 50]])
+    out = map_reads_stream(idx, reads, with_cigar=True)
+    m, x, o, e = 25, -50, 110, 6
+    wlen = L + 2 * out["window_pad"]
+    checked = 0
+    for i in range(N):
+        if out["pos"][i] < 0:
+            continue
+        w0 = int(out["pos"][i])
+        window = bytes(ref[w0: w0 + wlen])
+        read = bytes(reads[i]) if out["strand"][i] == 0 else bytes(
+            __import__("mgl_tpu.pipelines.mapper",
+                       fromlist=["revcomp"]).revcomp(reads[i]))
+        ours = _cigar_score(out["cigar"][i], window, read,
+                            int(out["offset"][i]), m, x, o, e)
+        line = f"{window.decode()} {read.decode()} {m} {x} {-o} {-e} 1"
+        ref_cig, ref_off = _oracle("sw", [line])[0].split()[:2]
+        want = _cigar_score(ref_cig, window, read, int(ref_off), m, x, o, e)
+        assert ours == want, (i, out["cigar"][i], out["offset"][i],
+                              ref_cig, ref_off, ours, want)
+        checked += 1
+    assert checked >= N * 0.9
