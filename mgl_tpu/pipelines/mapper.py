@@ -77,10 +77,13 @@ def _kmers(code: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 _PREFIX_BASES = 13                     # 4^13 = 67M jump-table buckets
-_SCAN_WIDTH = 4                        # vectorized in-bucket scan width
-                                       # (avg bucket load < 1 at genome
-                                       # scale; wider buckets fall back to
-                                       # exact binary search)
+_SCAN_WIDTH = 4                        # minimum in-bucket scan width; the
+                                       # effective width scales with the
+                                       # table's average bucket load (4x
+                                       # the mean covers the Poisson tail)
+                                       # so large references don't fall
+                                       # back to binary search over a
+                                       # multi-GB table for most lookups
 
 
 @dataclasses.dataclass
@@ -203,10 +206,12 @@ class ReferenceIndex:
         pfx = (kmer_vals >> shift).astype(np.int64)
         plo = self.prefix_table[pfx].astype(np.int64)
         phi = self.prefix_table[pfx + 1].astype(np.int64)
-        wide = (phi - plo) > _SCAN_WIDTH
-        # short buckets: one gather of SCAN_WIDTH entries + two counts
         M = len(self.sorted_kmers)
-        idx = plo[:, None] + np.arange(_SCAN_WIDTH, dtype=np.int64)[None, :]
+        # in-bucket scan width: 4x the table's mean bucket load (capped)
+        # so the binary-search fallback stays rare at genome scale
+        W = int(np.clip(4 * M // 4 ** _PREFIX_BASES, _SCAN_WIDTH, 64))
+        wide = (phi - plo) > W
+        idx = plo[:, None] + np.arange(W, dtype=np.int64)[None, :]
         in_rng = idx < phi[:, None]
         vals = self.sorted_kmers[np.minimum(idx, M - 1)]
         lt = ((vals < kmer_vals[:, None]) & in_rng).sum(1)
