@@ -204,3 +204,25 @@ def test_mapq_rescore_formula():
     # low absolute support halves confidence via the vote prior
     q_low = mapq_rescore(s1[2:3], s2[2:3], np.array([2]), p)
     assert q_low[0] == 30
+
+
+def test_cigar_stream_reference_edge_reads():
+    """Reads at the very start/end of the reference: their verify
+    windows are edge-clipped, so the certified tier is skipped and the
+    traceback tier must still produce correct CIGARs/offsets."""
+    rng = np.random.default_rng(16)
+    ref = rng.choice(BASES, size=30_000)
+    idx = ReferenceIndex.build(ref, k=16)
+    L = 100
+    reads = np.stack([ref[:L], ref[len(ref) - L:], ref[5: 5 + L]])
+    out = map_reads_stream(idx, reads, with_cigar=True)
+    assert (out["pos"] >= 0).all()
+    for i in range(3):
+        assert out["cigar"][i], f"read {i} missing CIGAR"
+        qlen = sum(int(n) for n, op in
+                   __import__("re").findall(r"(\d+)([MIS])", out["cigar"][i]))
+        assert qlen == L
+    # effective positions recover the true placements
+    eff = out["pos"] + np.where(out["offset"] >= 0, out["offset"],
+                                out["window_pad"])
+    assert eff[0] == 0 and eff[1] == len(ref) - L and eff[2] == 5
