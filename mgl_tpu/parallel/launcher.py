@@ -53,6 +53,8 @@ HAP_KEYS = ("hap", "haplen", "y_init")
 REF_KEYS = ("target", "tlen")
 OUT_KEYS = ("likelihoods", "best_hap_lik", "sw_scores",
             "sorted_key_hi", "sorted_key_lo")
+MAP_OUT_KEYS = ("pos", "score", "strand", "mapq", "offset",
+                "pos2", "score2", "votes", "votes2")
 
 
 def init_runtime(coordinator_address: str | None = None,
@@ -215,10 +217,11 @@ def worker_main(host: str, port: int, name: str, workload: str,
     return n
 
 
-def run_scaleout(workload: str, out_dir: str, chunk_size: int,
+def serve_chunks(n_items: int, out_dir: str, chunk_size: int,
                  port: int = 0, lease_ttl: float = 10.0,
                  heartbeat_ttl: float = 5.0, tag: str = "scaleout"):
-    """Driver: serve pending chunks over TCP until workers finish them.
+    """Driver core: serve pending chunk descriptors over TCP until
+    workers finish them.
 
     Returns (server, run, chunks): the caller spawns/points workers at
     ``server.address``, then calls :func:`finish` to wait + assemble.
@@ -229,9 +232,7 @@ def run_scaleout(workload: str, out_dir: str, chunk_size: int,
     from mgl_tpu.parallel.transport import CoordinatorServer
     from mgl_tpu.pipelines.checkpoint import CheckpointedRun
 
-    reads, _, _ = load_workload(workload)
-    n_reads = len(reads["rslen"])
-    chunks = make_chunks(n_reads, chunk_size)
+    chunks = make_chunks(n_items, chunk_size)
     run = CheckpointedRun(out_dir, len(chunks), tag=tag)
     run.rescan()
     pending = [chunks[c] for c in run.pending_chunks()]
@@ -240,6 +241,90 @@ def run_scaleout(workload: str, out_dir: str, chunk_size: int,
     server = CoordinatorServer(coord, port=port)
     server.start()
     return server, run, chunks
+
+
+def run_scaleout(workload: str, out_dir: str, chunk_size: int,
+                 port: int = 0, lease_ttl: float = 10.0,
+                 heartbeat_ttl: float = 5.0, tag: str = "scaleout"):
+    """Pipeline (PairHMM + SW + sort) scale-out driver over a
+    :func:`make_workload` .npz."""
+    reads, _, _ = load_workload(workload)
+    return serve_chunks(len(reads["rslen"]), out_dir, chunk_size,
+                        port=port, lease_ttl=lease_ttl,
+                        heartbeat_ttl=heartbeat_ttl, tag=tag)
+
+
+def save_map_workload(path: str | os.PathLike, ref: np.ndarray,
+                      reads: np.ndarray, k: int = 16) -> None:
+    """Mapping workload .npz (BASELINE config 4 across hosts): one
+    reference sequence + fixed-length reads.  Workers replicate the
+    k-mer index from ``ref`` (SURVEY §5: reference/index replicated per
+    host) and lease read-chunk descriptors."""
+    np.savez(path, map_ref=np.asarray(ref, np.uint8),
+             map_reads=np.asarray(reads, np.uint8), map_k=np.int64(k))
+
+
+def load_map_workload(path: str | os.PathLike):
+    with np.load(path) as z:
+        return z["map_ref"], z["map_reads"], int(z["map_k"])
+
+
+def map_worker_main(host: str, port: int, name: str, workload: str,
+                    out_dir: str, with_cigar: bool = False,
+                    heartbeat_ttl: float = 5.0, hang_chunk: int = -1) -> int:
+    """Elastic mapping worker: build the index once (replicated per
+    host), drain read-chunk leases through ``map_reads_stream``, commit
+    chunk outputs atomically.  Same failure story as :func:`worker_main`:
+    a killed worker stops heartbeating and its chunks re-dispatch."""
+    from mgl_tpu.parallel.transport import run_worker
+    from mgl_tpu.pipelines.checkpoint import save_chunk_atomic
+    from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads_stream
+    from mgl_tpu.utils.logging import get_logger
+
+    log = get_logger("launcher")
+    ref, reads, k = load_map_workload(workload)
+    index = ReferenceIndex.build(ref, k=k)
+
+    def work(payload):
+        c = payload["chunk"]
+        if c == hang_chunk:
+            log.warning("%s wedging on chunk %d (test hook)", name, c)
+            time.sleep(3600)
+        lo, hi = payload["lo"], payload["hi"]
+        out = map_reads_stream(index, reads[lo:hi], chunk=hi - lo,
+                               with_cigar=with_cigar)
+        arrays = {key: np.asarray(out[key]) for key in MAP_OUT_KEYS}
+        if with_cigar:
+            arrays["cigar"] = np.array([s.encode() for s in out["cigar"]],
+                                       dtype=np.bytes_)
+        save_chunk_atomic(out_dir, c, arrays)
+        return c
+
+    n = run_worker((host, port), work, name, heartbeat_ttl=heartbeat_ttl)
+    log.info("%s committed %d map chunks", name, n)
+    return n
+
+
+def run_scaleout_map(workload: str, out_dir: str, chunk_size: int,
+                     port: int = 0, lease_ttl: float = 10.0,
+                     heartbeat_ttl: float = 5.0):
+    """Mapping scale-out driver over a :func:`save_map_workload` .npz."""
+    _, reads, _ = load_map_workload(workload)
+    return serve_chunks(len(reads), out_dir, chunk_size, port=port,
+                        lease_ttl=lease_ttl, heartbeat_ttl=heartbeat_ttl,
+                        tag="scaleout-map")
+
+
+def assemble_map_output(run) -> dict:
+    """Chunk ledger -> global mapping output (chunk-ordered concat; read
+    order is the workload order, so this is bit-comparable to a
+    single-process ``map_reads_stream`` over the same chunk size)."""
+    assert run.complete(), "chunk files missing"
+    out = {k: run.assemble(k) for k in MAP_OUT_KEYS}
+    if "cigar" in run.load_chunk(0):
+        out["cigar"] = np.array([c.decode() for c in run.assemble("cigar")],
+                                dtype=object)
+    return out
 
 
 def assemble_output(run) -> dict:
@@ -261,9 +346,11 @@ def assemble_output(run) -> dict:
     return out
 
 
-def finish(server, run, poll: float = 0.1, timeout: float = 600.0) -> dict:
+def finish(server, run, poll: float = 0.1, timeout: float = 600.0,
+           assemble=None) -> dict:
     """Wait for the coordinator to drain, reconcile the ledger, and
-    assemble the global output."""
+    assemble the global output (``assemble``: :func:`assemble_output`
+    for pipeline runs — the default — or :func:`assemble_map_output`)."""
     deadline = time.monotonic() + timeout
     while not server.coord.done():
         if time.monotonic() > deadline:
@@ -271,7 +358,7 @@ def finish(server, run, poll: float = 0.1, timeout: float = 600.0) -> dict:
         time.sleep(poll)
     server.stop()
     run.rescan()
-    return assemble_output(run)
+    return (assemble or assemble_output)(run)
 
 
 def main(argv=None) -> int:
@@ -287,6 +374,15 @@ def main(argv=None) -> int:
     w.add_argument("--impl", default="xla")
     w.add_argument("--heartbeat-ttl", type=float, default=5.0)
     w.add_argument("--hang-chunk", type=int, default=-1)
+    m = sub.add_parser("map-worker", help="elastic mapping worker")
+    m.add_argument("host")
+    m.add_argument("port", type=int)
+    m.add_argument("name")
+    m.add_argument("workload")
+    m.add_argument("out_dir")
+    m.add_argument("--cigar", action="store_true")
+    m.add_argument("--heartbeat-ttl", type=float, default=5.0)
+    m.add_argument("--hang-chunk", type=int, default=-1)
     args = p.parse_args(argv)
     if args.role == "worker":
         dp, hp = (int(x) for x in args.mesh.split("x"))
@@ -294,6 +390,12 @@ def main(argv=None) -> int:
                     args.out_dir, mesh_shape=(dp, hp), impl=args.impl,
                     heartbeat_ttl=args.heartbeat_ttl,
                     hang_chunk=args.hang_chunk)
+        return 0
+    if args.role == "map-worker":
+        map_worker_main(args.host, args.port, args.name, args.workload,
+                        args.out_dir, with_cigar=args.cigar,
+                        heartbeat_ttl=args.heartbeat_ttl,
+                        hang_chunk=args.hang_chunk)
         return 0
     return 2
 

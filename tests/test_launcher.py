@@ -157,3 +157,79 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_scaleout_map_kill9_bit_identical(tmp_path, monkeypatch):
+    """Elastic mapping mode (BASELINE config 4 'data-parallel across
+    hosts'): worker OS processes replicate the reference index, lease
+    read chunks over TCP, and commit full mapper outputs (incl. CIGARs)
+    atomically; one worker is kill -9ed while wedged mid-chunk and the
+    assembled output is bit-identical to a single-process
+    map_reads_stream over the same chunk size."""
+    from mgl_tpu.parallel.launcher import (MAP_OUT_KEYS,
+                                           assemble_map_output,
+                                           run_scaleout_map,
+                                           save_map_workload)
+    from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads_stream
+
+    monkeypatch.setenv("MGL_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(21)
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    ref = rng.choice(BASES, size=50_000)
+    N, L, chunk_size = 192, 100, 64
+    starts = rng.integers(100, len(ref) - L - 100, size=N)
+    reads = ref[starts[:, None] + np.arange(L)[None, :]].copy()
+    for i in range(0, N, 3):            # SNP reads (certified-diagonal tier)
+        p = int(rng.integers(10, L - 10))
+        reads[i, p] = BASES[(int(np.searchsorted(BASES, reads[i, p])) + 1) % 4]
+    for i in range(1, N, 16):           # 2bp-deletion reads (traceback tier)
+        s = int(starts[i])
+        reads[i] = np.concatenate([ref[s: s + 50], ref[s + 52: s + L + 2]])
+
+    workload = tmp_path / "map.npz"
+    save_map_workload(workload, ref, reads)
+
+    idx = ReferenceIndex.build(ref, k=16)
+    base = map_reads_stream(idx, reads, chunk=chunk_size, with_cigar=True)
+    assert (base["pos"] >= 0).mean() > 0.95
+
+    out_dir = tmp_path / "dist"
+    out_dir.mkdir()
+    hb_ttl = 1.0
+    server, run, chunks = run_scaleout_map(str(workload), str(out_dir),
+                                           chunk_size, lease_ttl=2.0,
+                                           heartbeat_ttl=hb_ttl)
+    host, port = server.address
+    env = {**_child_env(), "MGL_TPU_PALLAS_INTERPRET": "1"}
+
+    def spawn(name, *extra):
+        return subprocess.Popen(
+            [sys.executable, "-m", "mgl_tpu.parallel.launcher", "map-worker",
+             host, str(port), name, str(workload), str(out_dir), "--cigar",
+             "--heartbeat-ttl", str(hb_ttl), *extra],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+    victim = spawn("victim", "--hang-chunk", "0")
+    c = CoordinatorClient(server.address)
+    deadline = time.time() + 180
+    while time.time() < deadline:       # wait until the victim is wedged
+        if c.stats()["leased"] >= 1:
+            break
+        time.sleep(0.05)
+    assert c.stats()["leased"] >= 1, "victim never leased a chunk"
+    survivor = spawn("survivor")
+    time.sleep(0.5)
+    victim.send_signal(signal.SIGKILL)
+
+    from mgl_tpu.parallel.launcher import finish as _finish
+
+    out = _finish(server, run, timeout=600, assemble=assemble_map_output)
+    _, err = survivor.communicate(timeout=300)
+    assert survivor.returncode == 0, err
+    victim.wait(timeout=10)
+    assert "victim" in server.coord.stats()["dead_workers"]
+
+    for k in MAP_OUT_KEYS:
+        np.testing.assert_array_equal(out[k], base[k], err_msg=k)
+    assert list(out["cigar"]) == list(base["cigar"])
