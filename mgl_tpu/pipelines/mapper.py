@@ -51,7 +51,9 @@ def _kmers(code: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     spans = {1: w} if 1 in need else {}
     span = 1
     while span * 2 <= k:
-        w = (w[: len(w) - span] << dtype(2 * span)) | w[span:]
+        nxt = w[: len(w) - span] << dtype(2 * span)
+        nxt |= w[span:]            # in-place: one temp, not two
+        w = nxt
         span *= 2
         if span in need:
             spans[span] = w
@@ -65,7 +67,8 @@ def _kmers(code: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
             acc = arr
         else:
             m = len(arr) - done
-            acc = (acc[:m] << dtype(2 * s)) | arr[done:]
+            acc = acc[:m] << dtype(2 * s)
+            acc |= arr[done: done + m]
         done += s
         if done == k:
             break
@@ -177,7 +180,7 @@ class ReferenceIndex:
         if k <= 16:
             # 2k bits fit in 32: halves table memory and, more important,
             # the per-lookup gather bandwidth (the seeding bottleneck)
-            vals = vals.astype(np.uint32)
+            vals = vals.astype(np.uint32, copy=False)
         ptable = None
         # the 4^13-entry jump table costs ~270 MB; only worth it once the
         # k-mer set is big enough that binary search is the bottleneck
@@ -260,7 +263,11 @@ def _rc_kmers(vals: np.ndarray, k: int) -> np.ndarray:
     v = ((v >> 2) & np.uint32(0x33333333)) | ((v & np.uint32(0x33333333)) << 2)
     v = ((v >> 4) & np.uint32(0x0F0F0F0F)) | ((v & np.uint32(0x0F0F0F0F)) << 4)
     v = v.byteswap()
-    return (v >> np.uint32(32 - 2 * k)).astype(np.uint64)
+    # stay in uint32: the index build sorts/permutes these values at
+    # genome scale, and a uint64 upcast here (via np.minimum with the
+    # forward values) doubles the radix-sort and gather traffic — ~35%
+    # of the whole build time at 64 Mbp
+    return v >> np.uint32(32 - 2 * k)
 
 
 def _vote_diagonals(index: ReferenceIndex, read_len: int,
