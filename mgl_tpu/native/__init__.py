@@ -88,6 +88,16 @@ def get_lib():
     ]
     lib.score_max_batch.argtypes = [ctypes.c_int32] + [ctypes.c_void_p] * 2 + [
         ctypes.c_int64] + [ctypes.c_void_p] * 3 + [ctypes.c_void_p] * 6
+    lib.radix_sort_kmer_index.argtypes = [
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.kmer_scan_canonical.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.kmer_scan_canonical.restype = ctypes.c_int64
+    lib.kmer_prefix_table.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -233,6 +243,60 @@ def cigar_decode_bulk_banded(words: np.ndarray, ez: dict, tlen: np.ndarray,
         n = int(np.argmax(row == 0))
         out.append((row[:n].tobytes().decode(), int(offsets[b])))
     return out
+
+
+def kmer_index_rows(code: np.ndarray, k: int):
+    """Sorted canonical k-mer index rows for a 2-bit coded reference
+    (k <= 16): one C pass emits (canonical value, position, fwd-bit) for
+    every valid (N-free) window, then the fused radix sort orders them.
+    Returns (keys uint32, pos uint32, fwd bool) or None if the native
+    lib is unavailable."""
+    lib = get_lib()
+    if lib is None or not (1 <= k <= 16) or len(code) >= 2**32:
+        return None
+    code = np.ascontiguousarray(code, np.uint8)
+    cap = max(len(code) - k + 1, 0)
+    keys = np.empty(cap, np.uint32)
+    pos = np.empty(cap, np.uint32)
+    fwd = np.empty(cap, np.uint8)
+    n = lib.kmer_scan_canonical(len(code), _ptr(code), int(k),
+                                _ptr(keys), _ptr(pos), _ptr(fwd))
+    keys, pos, fwd = keys[:n], pos[:n], fwd[:n]
+    radix_sort_kmers(keys, pos, fwd, 2 * k)
+    return keys, pos, fwd.view(np.bool_)
+
+
+def kmer_prefix_table(sorted_keys: np.ndarray, shift: int,
+                      buckets: int) -> np.ndarray | None:
+    """Prefix jump table (buckets+1 uint32 cumulative counts) over the
+    sorted uint32 key column, or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None or len(sorted_keys) >= 2**32:
+        return None
+    assert sorted_keys.dtype == np.uint32 and sorted_keys.flags.c_contiguous
+    table = np.empty(buckets + 1, np.uint32)
+    lib.kmer_prefix_table(len(sorted_keys), _ptr(sorted_keys), int(shift),
+                          int(buckets), _ptr(table))
+    return table
+
+
+def radix_sort_kmers(keys: np.ndarray, pos: np.ndarray, fwd: np.ndarray,
+                     key_bits: int) -> bool:
+    """In-place stable LSD radix sort of parallel (uint32 keys, uint32
+    positions, uint8/bool strand bits) rows by key — the index-build sort
+    with the permutation fused into the scatter (replaces np.argsort +
+    three gathers).  Returns False if the native lib is unavailable; the
+    arrays are untouched in that case."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert keys.dtype == np.uint32 and pos.dtype == np.uint32
+    assert fwd.dtype in (np.uint8, np.bool_) and fwd.itemsize == 1
+    for a in (keys, pos, fwd):
+        assert a.flags.c_contiguous and a.flags.writeable
+    lib.radix_sort_kmer_index(len(keys), int(key_bits),
+                              _ptr(keys), _ptr(pos), _ptr(fwd))
+    return True
 
 
 def score_max_bulk(last_col: np.ndarray, last_row: np.ndarray,

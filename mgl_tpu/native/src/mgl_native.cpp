@@ -314,4 +314,114 @@ void score_max_batch(
     }
 }
 
+// ---------------------------------------------------------------------------
+// Stable LSD radix sort of the k-mer index rows (uint32 key, uint32
+// position, uint8 strand-bit), 16-bit digits.  Replaces
+// np.argsort(kind="stable") + three permutation gathers in
+// ReferenceIndex.build: the payload columns move with the key inside the
+// scatter, so no separate gather passes (or pack/unpack passes) exist at
+// all.  Stability preserves the ascending-position order within equal
+// k-mers that the numpy path produces — outputs are bit-identical to it.
+// key_bits (= 2k for k-mers) bounds the number of passes; a pass whose
+// digit is constant across the array skips its scatter.
+// ---------------------------------------------------------------------------
+
+// ---------------------------------------------------------------------------
+// Single-pass canonical k-mer scan (k <= 16).  Rolls the forward value
+// ((v << 2) | code, masked to 2k bits) and its reverse complement
+// ((v >> 2) | (3 - code) << 2(k-1)) together, tracks the distance since
+// the last ambiguous base for validity, and emits
+// (min(fwd, rc), position, fwd <= rc) rows for every valid k-mer —
+// exactly the rows the numpy _kmers/_rc_kmers/mask pipeline produces,
+// without its log-doubling temporaries.  Returns the row count.
+// ---------------------------------------------------------------------------
+
+int64_t kmer_scan_canonical(int64_t ref_len, const uint8_t* code, int32_t k,
+                            uint32_t* keys, uint32_t* pos, uint8_t* fwd)
+{
+    const uint32_t mask = (k == 16) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1u);
+    const int rc_shift = 2 * (k - 1);
+    uint32_t fv = 0, rv = 0;
+    int64_t run = 0, n = 0;
+    for (int64_t i = 0; i < ref_len; i++) {
+        const uint32_t c = code[i];
+        if (c >= 4) {
+            run = 0;
+            continue;
+        }
+        fv = ((fv << 2) | c) & mask;
+        rv = (rv >> 2) | ((3u - c) << rc_shift);
+        if (++run >= k) {
+            const uint32_t canon = fv < rv ? fv : rv;
+            keys[n] = canon;
+            pos[n] = (uint32_t)(i - k + 1);
+            fwd[n] = fv <= rv;
+            n++;
+        }
+    }
+    return n;
+}
+
+// Prefix jump table over the SORTED key column: table[b] = number of
+// keys whose (key >> shift) bucket is < b, so [table[p], table[p+1]) is
+// bucket p's row range.  Counting over sorted keys walks the table
+// monotonically (cache-resident), unlike np.bincount's int64 temp +
+// 536 MB scatter.  table has buckets+1 uint32 entries (n < 2^32).
+void kmer_prefix_table(int64_t n, const uint32_t* keys, int32_t shift,
+                       int64_t buckets, uint32_t* table)
+{
+    std::memset(table, 0, (buckets + 1) * sizeof(uint32_t));
+    for (int64_t i = 0; i < n; i++)
+        table[(keys[i] >> shift) + 1]++;
+    uint64_t sum = 0;
+    for (int64_t b = 1; b <= buckets; b++) {
+        sum += table[b];
+        table[b] = (uint32_t)sum;
+    }
+}
+
+void radix_sort_kmer_index(int64_t n, int32_t key_bits,
+                           uint32_t* keys, uint32_t* pos, uint8_t* fwd)
+{
+    if (n <= 1) return;
+    const int passes = (key_bits + 15) / 16;
+    std::vector<uint32_t> kscr(n), pscr(n);
+    std::vector<uint8_t> fscr(n);
+    std::vector<int64_t> count(65536);
+    uint32_t* ksrc = keys;        uint32_t* psrc = pos;
+    uint8_t*  fsrc = fwd;
+    uint32_t* kdst = kscr.data(); uint32_t* pdst = pscr.data();
+    uint8_t*  fdst = fscr.data();
+
+    for (int p = 0; p < passes; p++) {
+        const int shift = 16 * p;
+        std::memset(count.data(), 0, 65536 * sizeof(int64_t));
+        for (int64_t i = 0; i < n; i++)
+            count[(ksrc[i] >> shift) & 0xFFFF]++;
+        bool constant = false;
+        int64_t sum = 0;
+        for (int b = 0; b < 65536; b++) {
+            if (count[b] == n) { constant = true; break; }
+            const int64_t c = count[b];
+            count[b] = sum;
+            sum += c;
+        }
+        if (constant) continue;  // digit identical everywhere: order kept
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t d = count[(ksrc[i] >> shift) & 0xFFFF]++;
+            kdst[d] = ksrc[i];
+            pdst[d] = psrc[i];
+            fdst[d] = fsrc[i];
+        }
+        std::swap(ksrc, kdst);
+        std::swap(psrc, pdst);
+        std::swap(fsrc, fdst);
+    }
+    if (ksrc != keys) {
+        std::memcpy(keys, ksrc, n * sizeof(uint32_t));
+        std::memcpy(pos, psrc, n * sizeof(uint32_t));
+        std::memcpy(fwd, fsrc, n * sizeof(uint8_t));
+    }
+}
+
 }  // extern "C"

@@ -158,25 +158,39 @@ class ReferenceIndex:
         ref = np.frombuffer(bytes(ref_seq), np.uint8) if not isinstance(
             ref_seq, np.ndarray) else ref_seq.astype(np.uint8)
         code = encode(ref)
-        vals, valid = _kmers(code, k)
-        # uint32 offsets reach 4.29 Gbp (human genome: 3.1 Gbp) at half
-        # the table memory of int64; consumers widen to int64 on load
-        pos_dtype = np.uint32 if len(ref) < 2**32 else np.int64
-        pos = np.nonzero(valid)[0].astype(pos_dtype)
-        vals = vals[valid]
-        fwd = None
-        if k <= 16:
-            # canonical k-mers: index min(kmer, rc(kmer)) plus a bit for
-            # which form was the forward one — a single table lookup then
-            # serves BOTH strands of a read (the lookup gathers are the
-            # seeding bottleneck; this halves them)
-            rcv = _rc_kmers(vals, k)
-            fwd = vals <= rcv
-            vals = np.minimum(vals, rcv)
-        order = np.argsort(vals, kind="stable")
-        vals = vals[order]
-        if fwd is not None:
-            fwd = fwd[order]
+        # native fast path (k <= 16, offsets fit uint32 — covers the
+        # human genome): one C pass emits canonical (value, position,
+        # fwd-bit) rows, a fused stable radix sort orders them — no
+        # log-doubling temporaries, no argsort, no gather passes.
+        # Bit-identical to the numpy path below (regression-tested).
+        rows = None
+        if k <= 16 and len(ref) < 2**32:
+            from mgl_tpu.native import kmer_index_rows
+
+            rows = kmer_index_rows(code, k)
+        if rows is not None:
+            vals, pos, fwd = rows
+        else:
+            vals, valid = _kmers(code, k)
+            # uint32 offsets reach 4.29 Gbp (human genome: 3.1 Gbp) at
+            # half the table memory of int64; consumers widen on load
+            pos_dtype = np.uint32 if len(ref) < 2**32 else np.int64
+            pos = np.nonzero(valid)[0].astype(pos_dtype)
+            vals = vals[valid]
+            fwd = None
+            if k <= 16:
+                # canonical k-mers: index min(kmer, rc(kmer)) plus a bit
+                # for which form was the forward one — a single table
+                # lookup then serves BOTH strands of a read (the lookup
+                # gathers are the seeding bottleneck; this halves them)
+                rcv = _rc_kmers(vals, k)
+                fwd = vals <= rcv
+                vals = np.minimum(vals, rcv)
+            order = np.argsort(vals, kind="stable")
+            vals = vals[order]
+            pos = pos[order]
+            if fwd is not None:
+                fwd = fwd[order]
         if k <= 16:
             # 2k bits fit in 32: halves table memory and, more important,
             # the per-lookup gather bandwidth (the seeding bottleneck)
@@ -186,15 +200,21 @@ class ReferenceIndex:
         # k-mer set is big enough that binary search is the bottleneck
         if k >= _PREFIX_BASES and len(vals) >= 1_000_000:
             shift = 2 * (k - _PREFIX_BASES)
-            counts = np.bincount((vals >> vals.dtype.type(shift))
-                                 .astype(np.int64),
-                                 minlength=4 ** _PREFIX_BASES)
-            ptable = np.zeros(4 ** _PREFIX_BASES + 1, np.int64)
-            np.cumsum(counts, out=ptable[1:])
-            ptable = ptable.astype(np.uint32 if len(vals) < 2**32
-                                   else np.int64)
+            if vals.dtype == np.uint32:
+                # single cache-friendly pass over the sorted keys
+                from mgl_tpu.native import kmer_prefix_table
+
+                ptable = kmer_prefix_table(vals, shift, 4 ** _PREFIX_BASES)
+            if ptable is None:
+                counts = np.bincount((vals >> vals.dtype.type(shift))
+                                     .astype(np.int64),
+                                     minlength=4 ** _PREFIX_BASES)
+                ptable = np.zeros(4 ** _PREFIX_BASES + 1, np.int64)
+                np.cumsum(counts, out=ptable[1:])
+                ptable = ptable.astype(np.uint32 if len(vals) < 2**32
+                                       else np.int64)
         return ReferenceIndex(k=k, ref=ref, sorted_kmers=vals,
-                              positions=pos[order],
+                              positions=pos,
                               max_hits=max_hits, prefix_table=ptable,
                               canon_fwd=fwd)
 

@@ -39,6 +39,36 @@ def _shifted_index(seg: np.ndarray, big_off: int, k: int = 16):
         prefix_table=None, canon_fwd=small.canon_fwd)
 
 
+def test_native_radix_index_build_bit_identical(monkeypatch):
+    """The native fused radix-sort index build (sorted_kmers, positions,
+    canon_fwd, prefix_table) is bit-identical to the numpy argsort path,
+    including N runs (invalid k-mers) and both k parities."""
+    import mgl_tpu.native as nat
+
+    rng = np.random.default_rng(7)
+    ref = rng.choice(BASES, size=300_000)
+    ref[rng.integers(0, len(ref), 200)] = ord("N")
+
+    def build_with(native: str, k: int):
+        monkeypatch.setenv("MGL_TPU_NATIVE", native)
+        monkeypatch.setattr(nat, "_lib", None)
+        monkeypatch.setattr(nat, "_tried", False)
+        return ReferenceIndex.build(ref, k=k)
+
+    for k in (16, 15, 12):
+        a = build_with("1", k)
+        if nat.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        b = build_with("0", k)
+        assert a.sorted_kmers.dtype == b.sorted_kmers.dtype == np.uint32
+        assert np.array_equal(a.sorted_kmers, b.sorted_kmers)
+        assert np.array_equal(a.positions, b.positions)
+        assert np.array_equal(a.canon_fwd, b.canon_fwd)
+        assert (a.prefix_table is None) == (b.prefix_table is None)
+        if a.prefix_table is not None:
+            assert np.array_equal(a.prefix_table, b.prefix_table)
+
+
 def test_positions_past_int32_boundary():
     """Reads placed beyond 2.147 Gbp map to the right (uint32) offsets:
     the voting/verify arithmetic must widen to int64 throughout."""
