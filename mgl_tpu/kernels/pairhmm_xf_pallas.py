@@ -673,11 +673,16 @@ def _xf_product_forward_tracks(q, i, d, c, bases, rlens,
                                stream, stream_carry):
     planes, rchar, rsl, g1 = _read_planes_device_xf(
         q, i, d, c, bases, rlens, tabs, Rb=Rb, Bp=q.shape[0])
-    return _xf_product_forward(
+    s = _xf_product_forward(
         hap, haplen, yih, yil, yie, rchar, rsl,
         planes.hi, planes.lo, planes.e, g1.hi, g1.lo, g1.e,
         ridx, hidx, band=band, interpret=interpret, stream=stream,
         stream_carry=stream_carry)
+    # one packed (3, Bp) f32 result: hi, lo, bitcast(e) — a single
+    # device->host fetch instead of three serialized round trips (the
+    # tunnel charges ~25 ms per synchronous transfer)
+    return jnp.stack([s.hi[0], s.lo[0],
+                      jax.lax.bitcast_convert_type(s.e[0], jnp.float32)])
 
 
 def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
@@ -730,14 +735,13 @@ def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
 
     yih, yil, yie = xf_split(y_init)
     tabs = _xf_tables()
-    score = _xf_product_forward_tracks(
+    packed = np.asarray(_xf_product_forward_tracks(
         jnp.asarray(q), jnp.asarray(i), jnp.asarray(d), jnp.asarray(c),
         jnp.asarray(rbases), jnp.asarray(rlens),
         jnp.asarray(hap_a), jnp.asarray(haplen),
         jnp.asarray(yih), jnp.asarray(yil), jnp.asarray(yie),
         jnp.asarray(ridx), jnp.asarray(hidx), tabs,
         Rb=Rb, band=band, interpret=env_interpret(),
-        stream=stream, stream_carry=stream_carry)
-    return xf_to_f64(np.asarray(score.hi)[0, :B],
-                     np.asarray(score.lo)[0, :B],
-                     np.asarray(score.e)[0, :B])
+        stream=stream, stream_carry=stream_carry))
+    return xf_to_f64(packed[0, :B], packed[1, :B],
+                     packed[2, :B].view(np.int32))

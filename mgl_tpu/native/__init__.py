@@ -24,6 +24,12 @@ _lib = None
 _tried = False
 
 
+def _src_digest() -> str:
+    import hashlib
+
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
+
+
 def _build() -> bool:
     from mgl_tpu.utils.logging import get_logger
 
@@ -34,12 +40,24 @@ def _build() -> bool:
              str(_SRC), "-o", str(_SO), "-pthread"],
             check=True, capture_output=True,
         )
+        (_SO.parent / (_SO.name + ".srchash")).write_text(_src_digest())
         log.info("built native helper library at %s", _SO)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         log.warning("native helper build failed (%s); falling back to "
                     "pure-Python paths", e)
         return False
+
+
+def _stale(so: pathlib.Path) -> bool:
+    """A cached .so is stale unless its recorded source hash matches.
+    (mtime comparison is unreliable: git checkout writes both files with
+    the same timestamp.)"""
+    if not so.exists():
+        return True
+    sidecar = so.parent / (so.name + ".srchash")
+    return (not sidecar.exists()
+            or sidecar.read_text().strip() != _src_digest())
 
 
 def get_lib():
@@ -55,8 +73,7 @@ def get_lib():
         so = pathlib.Path(path)
     else:
         so = _SO
-        if (not so.exists()
-                or so.stat().st_mtime < _SRC.stat().st_mtime) and not _build():
+        if _stale(so) and not _build():
             return None
     try:
         lib = ctypes.CDLL(str(so))
