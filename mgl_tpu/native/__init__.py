@@ -115,6 +115,17 @@ def get_lib():
     lib.kmer_prefix_table.argtypes = [
         ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_int64, ctypes.c_void_p]
+    lib.map_seed_vote.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.exact_nm_batch.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -314,6 +325,62 @@ def radix_sort_kmers(keys: np.ndarray, pos: np.ndarray, fwd: np.ndarray,
     lib.radix_sort_kmer_index(len(keys), int(key_bits),
                               _ptr(keys), _ptr(pos), _ptr(fwd))
     return True
+
+
+def map_seed_vote(reads: np.ndarray, index, stride: int,
+                  n_threads: int | None = None):
+    """Fused seed -> canonical lookup -> diagonal vote for a chunk of
+    reads: the single-pass native form of mapper's _seed_kmers +
+    ReferenceIndex.lookup + _vote_diagonals (two-strand canonical mode).
+    Returns (pos, votes, votes2, pos2) with 2N rows (forward rows then
+    reverse rows), bit-identical to the NumPy path, or None when the
+    native lib or the index shape doesn't qualify."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if (index.canon_fwd is None or index.k > 16
+            or index.sorted_kmers.dtype != np.uint32
+            or index.positions.dtype != np.uint32
+            or len(index.ref) >= 2**32):
+        return None
+    ptable = index.prefix_table
+    if ptable is not None and ptable.dtype != np.uint32:
+        return None
+    reads = np.ascontiguousarray(reads, np.uint8)
+    N, L = reads.shape
+    fwd = np.ascontiguousarray(index.canon_fwd.view(np.uint8))
+    pos = np.empty(2 * N, np.int64)
+    votes = np.empty(2 * N, np.int32)
+    votes2 = np.empty(2 * N, np.int32)
+    pos2 = np.empty(2 * N, np.int64)
+    # shift so (kmer >> shift) indexes the jump table's buckets
+    pshift = (2 * index.k - ((len(ptable) - 1).bit_length() - 1)
+              if ptable is not None else 0)
+    lib.map_seed_vote(
+        N, L, _ptr(reads), int(index.k), int(stride),
+        _ptr(index.sorted_kmers), _ptr(index.positions), _ptr(fwd),
+        len(index.sorted_kmers),
+        _ptr(ptable) if ptable is not None else None, pshift,
+        int(index.max_hits), len(index.ref),
+        n_threads or min(8, os.cpu_count() or 1),
+        _ptr(pos), _ptr(votes), _ptr(votes2), _ptr(pos2))
+    return pos, votes, votes2, pos2
+
+
+def exact_nm(reads: np.ndarray, ref: np.ndarray, pos: np.ndarray,
+             n_threads: int | None = None) -> np.ndarray | None:
+    """Mismatch count of each (oriented) read vs the reference at its
+    predicted start, or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    reads = np.ascontiguousarray(reads, np.uint8)
+    N, L = reads.shape
+    pos = np.ascontiguousarray(pos, np.int64)
+    nm = np.empty(N, np.int32)
+    lib.exact_nm_batch(N, L, _ptr(reads), _ptr(ref), len(ref), _ptr(pos),
+                       _ptr(nm), n_threads or min(8, os.cpu_count() or 1))
+    return nm
 
 
 def score_max_bulk(last_col: np.ndarray, last_row: np.ndarray,

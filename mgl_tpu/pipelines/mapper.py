@@ -428,6 +428,19 @@ def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
     stride = stride or index.k
     k = index.k
     N = reads.shape[0]
+    if both_strands and index.canon_fwd is not None:
+        # fused native seeding (seed kmers + lookup + vote in one pass per
+        # read; bit-identical to the NumPy pipeline below) — the host-side
+        # hot path at scale
+        import os as _os
+
+        if _os.environ.get("MGL_TPU_NATIVE_SEED", "1") != "0":
+            from mgl_tpu.native import map_seed_vote
+
+            rows = map_seed_vote(reads, index, stride)
+            if rows is not None:
+                pos, votes, votes2, p2 = rows
+                return _combine_strand_rows(pos, votes, votes2, p2, N, full)
     fvals, fvalid, offsets = _seed_kmers(reads, k, stride)
     if not both_strands:
         pos, votes, _, _ = _vote_diagonals(index, read_len, fvals, fvalid,
@@ -457,6 +470,13 @@ def seed_candidates(index: ReferenceIndex, reads: np.ndarray,
              np.broadcast_to(roff[None, :], rvals.shape)], axis=0)
         pos, votes, votes2, p2 = _vote_diagonals(index, read_len, vals,
                                                  valid, seed_off)
+    return _combine_strand_rows(pos, votes, votes2, p2, N, full)
+
+
+def _combine_strand_rows(pos, votes, votes2, p2, N, full):
+    """Fold the 2N per-strand vote rows (forward rows then reverse rows)
+    into per-read outputs: winning strand, best/second vote counts, and
+    (with ``full``) the runner-up locus the verify stage rescores."""
     fw, rc = slice(0, N), slice(N, 2 * N)
     rc_wins = votes[rc] > votes[fw]
     strand = rc_wins.astype(np.int8)
@@ -770,6 +790,23 @@ def sw_score_windows(index: "ReferenceIndex", starts: np.ndarray,
     return np.asarray(ez)[2, :B].astype(np.int64)
 
 
+def _nm_at(ref: np.ndarray, pos: np.ndarray, oriented: np.ndarray
+           ) -> np.ndarray:
+    """Mismatch count of each oriented read vs the reference at its
+    predicted start (out-of-range columns clamp to the last ref byte —
+    such rows are edge-clipped and the caller handles them separately).
+    Native single pass when available; NumPy gather fallback."""
+    from mgl_tpu.native import exact_nm
+
+    nm = exact_nm(oriented, ref, pos)
+    if nm is not None:
+        return nm.astype(np.int64)
+    L = oriented.shape[1]
+    rd_idx = pos[:, None] + np.arange(L)[None, :]
+    eq = ref[np.clip(rd_idx, 0, len(ref) - 1)] == oriented
+    return (L - eq.sum(axis=1)).astype(np.int64)
+
+
 def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
                      chunk: int = 131072, window_pad: int = 24,
                      params=None, with_cigar: bool = False,
@@ -866,15 +903,12 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
             # one equality check at the predicted read start (a read that
             # differs there can't be exact at any other offset); only
             # edge-clipped windows (rare) still take the full-range scan
-            rd_idx = pos[mapped][:, None] + np.arange(L)[None, :]
-            refslice = index.ref[np.clip(rd_idx, 0, len(index.ref) - 1)]
-            eq = refslice == rsub
-            exact = ~clipped & eq.all(axis=1)
+            nm = _nm_at(index.ref, pos[mapped], rsub)
+            exact = ~clipped & (nm == 0)
             exact_o = np.where(exact, np.int64(window_pad), np.int64(-1))
             # certified-diagonal score: what a full-length gap-free
             # alignment at the seeded diagonal scores (valid where the
             # window isn't edge-clipped)
-            nm = L - eq.sum(axis=1)
             diag_score = np.where(
                 clipped, np.int64(-1),
                 (L - nm) * np.int64(params.match)

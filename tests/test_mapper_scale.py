@@ -69,6 +69,50 @@ def test_native_radix_index_build_bit_identical(monkeypatch):
             assert np.array_equal(a.prefix_table, b.prefix_table)
 
 
+def test_native_seed_vote_bit_identical(monkeypatch):
+    """The fused native seeding engine (seed k-mers -> canonical lookup ->
+    diagonal vote, native/src map_seed_vote) returns outputs bit-identical
+    to the NumPy _seed_kmers/_vote_diagonals pipeline — including strand
+    folding, runner-up loci, repeat tie-breaking, N bases, junk reads, and
+    the prefix jump table vs pure-binary-search index shapes."""
+    from mgl_tpu.native import exact_nm, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(21)
+    ref = rng.choice(BASES, size=1_500_000)
+    ref[3000:3300] = ref[90_000:90_300]           # duplicate locus
+    ref[70_000:70_050] = ref[90_000:90_050]       # partial repeat
+    ref[123_456:123_470] = ord("N")
+    L, N = 150, 8192
+    tp = rng.integers(0, len(ref) - L, N)
+    reads = ref[tp[:, None] + np.arange(L)[None, :]].copy()
+    mut = rng.random(reads.shape) < 0.02
+    reads[mut] = rng.choice(BASES, size=int(mut.sum()))
+    reads[N // 2:] = M.revcomp(reads[N // 2:])
+    reads[:64] = rng.choice(BASES, size=(64, L))  # junk
+    reads[64:96, 10] = ord("N")                   # ambiguous bases
+
+    # with jump table (>=1M kmers) and without (forced small threshold)
+    for idx in (ReferenceIndex.build(ref, k=16),
+                ReferenceIndex.build(ref[:200_000], k=16)):
+        monkeypatch.setenv("MGL_TPU_NATIVE_SEED", "1")
+        a = M.seed_candidates(idx, reads, L, both_strands=True, full=True)
+        monkeypatch.setenv("MGL_TPU_NATIVE_SEED", "0")
+        b = M.seed_candidates(idx, reads, L, both_strands=True, full=True)
+        for x, y in zip(a, b):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    # the exact-tier mismatch counter matches the gather formula,
+    # including edge clamping
+    pos = np.clip(tp + rng.integers(-3, 4, N), 0, len(ref) - 1)
+    pos[:8] = len(ref) - L + 100                  # clamp past the edge
+    nm = exact_nm(reads, ref, pos.astype(np.int64))
+    rd_idx = pos[:, None] + np.arange(L)[None, :]
+    eq = ref[np.clip(rd_idx, 0, len(ref) - 1)] == reads
+    assert np.array_equal(nm, (L - eq.sum(axis=1)).astype(np.int32))
+
+
 def test_positions_past_int32_boundary():
     """Reads placed beyond 2.147 Gbp map to the right (uint32) offsets:
     the voting/verify arithmetic must widen to int64 throughout."""
