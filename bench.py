@@ -274,7 +274,7 @@ def main():
         c5 = rep.get("config5_align_sort", {})
         out["extra"]["scale_runs"] = {
             "source": "tools/run_scale_configs.py (recorded, not re-run here)",
-            "mapper_reads_per_s_1m": c4.get("steady_reads_per_s"),
+            "mapper_reads_per_s_1m": c4.get("reads_per_s"),
             "mapper_window_accuracy": c4.get("window_accuracy"),
             "sort_10m_mkeys_per_s": c5.get("sort_10m_mkeys_per_s"),
         }

@@ -673,29 +673,47 @@ _BLOCK_GATE = 2**31 - 65536
 _BLOCK_OVERLAP = 4096    # > any wlen: a window never leaves its row
 
 
+_REF_PAD = 5   # outside code space 0..4: padding never matches any read
+
+
 def _ref_device(index: "ReferenceIndex"):
-    """Device-resident reference: (array, blocked).  Flat padded vector
-    below _BLOCK_GATE; overlapping (n_rows, block+overlap) matrix above."""
+    """Device-resident reference as 2-bit codes (+4 = N): (array, blocked).
+    Flat padded vector below _BLOCK_GATE; overlapping (n_rows,
+    block+overlap) matrix above.  Code space (the mapper's contractual
+    ACGTN alphabet) halves the read-transfer bytes vs ASCII — see
+    _pack_codes."""
     import jax.numpy as jnp
 
     dev = getattr(index, "_ref_dev", None)
     if dev is not None:
         return dev, getattr(index, "_ref_blocked", False)
     n = len(index.ref)
+    code = encode(index.ref)
     if n <= _BLOCK_GATE:
-        index._ref_dev = jnp.asarray(
-            np.concatenate([index.ref, np.zeros(_BLOCK_OVERLAP, np.uint8)]))
+        index._ref_dev = jnp.asarray(np.concatenate(
+            [code, np.full(_BLOCK_OVERLAP, _REF_PAD, np.uint8)]))
         index._ref_blocked = False
     else:
         S = 1 << _BLOCK_BITS
         n_rows = -(-n // S)
         padded = np.concatenate(
-            [index.ref, np.zeros(S + _BLOCK_OVERLAP, np.uint8)])
+            [code, np.full(S + _BLOCK_OVERLAP, _REF_PAD, np.uint8)])
         rows = np.lib.stride_tricks.as_strided(
             padded, shape=(n_rows, S + _BLOCK_OVERLAP), strides=(S, 1))
         index._ref_dev = jnp.asarray(np.ascontiguousarray(rows))
         index._ref_blocked = True
     return index._ref_dev, index._ref_blocked
+
+
+def _pack_codes(reads: np.ndarray) -> np.ndarray:
+    """(B, L) ASCII reads -> (B, ceil(L/2)) packed 4-bit codes (hi nibble
+    = even column).  Halves the host->device transfer, the dominant
+    per-chunk cost behind this dev environment's tunnel."""
+    codes = encode(reads.reshape(-1)).reshape(reads.shape)
+    if codes.shape[1] % 2:
+        codes = np.concatenate(
+            [codes, np.full((len(codes), 1), _REF_PAD, np.uint8)], axis=1)
+    return (codes[:, 0::2] << 4) | codes[:, 1::2]
 
 
 def _split_starts(starts: np.ndarray, blocked: bool):
@@ -722,7 +740,7 @@ def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32,
     interpret = env_interpret()
 
     @jax.jit
-    def fn(ref_dev, starts, reads_u8, match, mismatch, gap_open, gap_ext):
+    def fn(ref_dev, starts, packed_u8, match, mismatch, gap_open, gap_ext):
         if blocked:
             bid, off = starts
             B = bid.shape[0]
@@ -734,16 +752,22 @@ def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32,
             B = st.shape[0]
             win = ref_dev[st[:, None]
                           + jnp.arange(wlen, dtype=st.dtype)[None, :]]
+        # reads arrive as packed 4-bit codes (see _pack_codes)
+        codes = jnp.stack([packed_u8 >> 4, packed_u8 & 0xF],
+                          axis=-1).reshape(B, -1)[:, :qlen]
         tchar = jnp.zeros((Rb, B), jnp.int32).at[:wlen].set(
             win.T.astype(jnp.int32))
         qpad = jnp.zeros((QR, B), jnp.int32).at[:qlen].set(
-            reads_u8.T.astype(jnp.int32))
+            codes.T.astype(jnp.int32))
         tl = jnp.full((1, B), wlen, jnp.int32)
         ql = jnp.full((1, B), qlen, jnp.int32)
-        return sw_pallas_banded(tchar, qpad, tl, ql, match, mismatch,
-                                gap_open, gap_ext, indel_init=indel_init,
-                                with_traceback=with_traceback, band=band,
-                                interpret=interpret)
+        ez, btr = sw_pallas_banded(tchar, qpad, tl, ql, match, mismatch,
+                                   gap_open, gap_ext, indel_init=indel_init,
+                                   with_traceback=with_traceback, band=band,
+                                   interpret=interpret)
+        if not with_traceback:
+            return ez[2], None      # score row only: 6x less fetched
+        return ez, btr
 
     return fn
 
@@ -767,8 +791,9 @@ def _sw_score_windows_async(index: "ReferenceIndex", starts: np.ndarray,
     st = tuple(np.zeros(Bp, np.int32) for _ in st_parts)
     for d, s in zip(st, st_parts):
         d[:B] = s
-    rd = np.zeros((Bp, L), np.uint8)
-    rd[:B] = reads
+    packed = _pack_codes(reads)
+    rd = np.zeros((Bp, packed.shape[1]), np.uint8)
+    rd[:B] = packed
     key = (wlen, L, False, blocked)
     cache = getattr(index, "_win_fns", None)
     if cache is None:
@@ -776,18 +801,18 @@ def _sw_score_windows_async(index: "ReferenceIndex", starts: np.ndarray,
     fn = cache.get(key)
     if fn is None:
         fn = cache[key] = _windowed_scores_fn(wlen, L, blocked=blocked)
-    ez, _ = fn(ref_dev, tuple(jnp.asarray(s) for s in st), jnp.asarray(rd),
+    sc, _ = fn(ref_dev, tuple(jnp.asarray(s) for s in st), jnp.asarray(rd),
                params.match, params.mismatch, params.gap_open,
                params.gap_extend)
-    return ez, B
+    return sc, B
 
 
 def sw_score_windows(index: "ReferenceIndex", starts: np.ndarray,
                      reads: np.ndarray, wlen: int, params) -> np.ndarray:
     """Best SW score of each read vs its reference window, with the window
     gather running on device (reference resident in HBM)."""
-    ez, B = _sw_score_windows_async(index, starts, reads, wlen, params)
-    return np.asarray(ez)[2, :B].astype(np.int64)
+    sc, B = _sw_score_windows_async(index, starts, reads, wlen, params)
+    return np.asarray(sc)[:B].astype(np.int64)
 
 
 def _nm_at(ref: np.ndarray, pos: np.ndarray, oriented: np.ndarray
@@ -861,9 +886,9 @@ def map_reads_stream(index: ReferenceIndex, reads: np.ndarray,
     pending = None
 
     def finalize(p):
-        ez, B, n1, idx1, idx2, diag1 = p
+        sc, B, n1, idx1, idx2, diag1 = p
         with METRICS.timer("map.sync"):
-            scores = np.asarray(ez)[2, :B].astype(np.int64)
+            scores = np.asarray(sc)[:B].astype(np.int64)
         out["score"][idx1] = scores[:n1]
         if with_cigar and n1:
             cert = cert_ok & (diag1 >= 0) & (scores[:n1] == diag1)
@@ -994,8 +1019,9 @@ def sw_cigar_windows(index: "ReferenceIndex", starts: np.ndarray,
     st = tuple(np.zeros(Bp, np.int32) for _ in st_parts)
     for d, s in zip(st, st_parts):
         d[:B] = s
-    rd = np.zeros((Bp, L), np.uint8)
-    rd[:B] = reads
+    packed = _pack_codes(reads)
+    rd = np.zeros((Bp, packed.shape[1]), np.uint8)
+    rd[:B] = packed
     indel_init = bool(
         strategy & (OverhangStrategy.INDEL | OverhangStrategy.LEADING_INDEL))
     key = (wlen, L, True, indel_init, blocked)

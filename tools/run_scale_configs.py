@@ -41,7 +41,7 @@ def simulate(rng, ref_len: int, n_reads: int, read_len: int,
 
 
 def config4(n_reads: int, ref_len: int, chunk: int = 131072,
-            read_len: int = 150, seed: int = 0):
+            read_len: int = 150, seed: int = 0, passes: int = 3):
     from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads_stream
 
     rng = np.random.default_rng(seed)
@@ -56,30 +56,39 @@ def config4(n_reads: int, ref_len: int, chunk: int = 131072,
           flush=True)
 
     # warm the compiled shapes on the first chunk, then stream with
-    # host/device overlap
+    # host/device overlap; several full passes because the chip is a
+    # shared pool here — the median is the headline, the trials stay in
+    # the report so variance is visible
     from mgl_tpu.utils.metrics import METRICS
 
     t_warm = time.time()
     map_reads_stream(index, reads[:chunk], chunk=chunk)
     t_warm = time.time() - t_warm
-    METRICS.reset()
-    t0 = time.time()
-    out = map_reads_stream(index, reads, chunk=chunk)
-    t_map = time.time() - t0
-    stages = {k.split(".", 1)[1]: round(v, 2)
-              for k, v in METRICS.snapshot()["timers_s"].items()
-              if k.startswith("map.")}
-    # host stage time that is NOT covered by async device work = the
-    # chip-idle fraction question from the round-2 verdict: dispatch is
-    # async, sync blocks on the chip, seed/host_tier run while the chip
-    # verifies the previous chunk
-    stages["host_while_chip_busy"] = round(
-        stages.get("seed", 0) + stages.get("host_tier", 0), 2)
-    pos, score = out["pos"], out["score"]
-    print(f"  mapped {n_reads} in {t_map:.1f}s "
-          f"({n_reads/t_map:.0f} reads/s)", flush=True)
-    steady = t_map / max(1, -(-n_reads // chunk)) 
+    trials, all_stages = [], []
+    for p in range(max(passes, 1)):
+        METRICS.reset()
+        t0 = time.time()
+        out = map_reads_stream(index, reads, chunk=chunk)
+        t_map = time.time() - t0
+        trials.append(round(n_reads / t_map, 1))
+        stages = {k.split(".", 1)[1]: round(v, 2)
+                  for k, v in METRICS.snapshot()["timers_s"].items()
+                  if k.startswith("map.")}
+        # host stage time that is NOT covered by async device work = the
+        # chip-idle fraction question from the round-2 verdict: dispatch
+        # is async, sync blocks on the chip, seed/host_tier run while the
+        # chip verifies the previous chunk
+        stages["host_while_chip_busy"] = round(
+            stages.get("seed", 0) + stages.get("host_tier", 0), 2)
+        all_stages.append(stages)
+        print(f"  pass {p}: mapped {n_reads} in {t_map:.1f}s "
+              f"({n_reads/t_map:.0f} reads/s) stages={stages}", flush=True)
+    med = float(np.median(trials))
+    # stage breakdown of the median pass
+    stages = all_stages[int(np.argsort(trials)[len(trials) // 2])]
+    t_map = n_reads / med
 
+    pos, score = out["pos"], out["score"]
     mapped = pos >= 0
     # window start is fuzzy by design (diagonal bin + pad); correct if the
     # true read start lies inside the verified window
@@ -92,8 +101,8 @@ def config4(n_reads: int, ref_len: int, chunk: int = 131072,
         "ref_mbp": ref_len / 1e6,
         "index_build_s": round(t_index, 2),
         "map_s": round(t_map, 2),
-        "reads_per_s": round(n_reads / t_map, 1),
-        "steady_reads_per_s": round(n_reads / t_map, 1),
+        "reads_per_s": round(med, 1),
+        "trials_reads_per_s": trials,
         "warmup_s": round(t_warm, 2),
         "mapped_frac": round(float(mapped.mean()), 4),
         "window_accuracy": round(float(ok.sum() / max(mapped.sum(), 1)), 4),
