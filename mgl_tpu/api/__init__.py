@@ -200,5 +200,63 @@ class PairHmmEngine:
                                    use_fast_path=self.fast_path,
                                    impl=self.impl)
 
+    def compute_likelihoods_stream(self, batches, depth: int = 2):
+        """Pipelined likelihoods over a stream of (reads, haps) batches —
+        GATK's actual call pattern (one computeLikelihoods per assembly
+        region, thousands of regions per run).
+
+        A single call is round-trip-latency-bound at typical region sizes
+        (the DP itself is milliseconds of chip time); here batch k+1's
+        host packing and f32 dispatch run while the device still works on
+        batch k (JAX dispatch is asynchronous), the batch-granular TPU
+        analogue of the reference's TBB parallel_for over reads within
+        one call (com_microsoft_mgl_pairhmm_MicrosoftPairHmm.cc:131).
+        Single-threaded: an explicit dispatch/finalize split pipelines
+        without contending on the device transport.  Yields (R, H)
+        matrices in input order, bit-identical to sequential calls.
+        """
+        import collections
+
+        depth = max(depth, 1)
+        # three-stage pipeline: [dispatch f32] -> [fetch f32 + dispatch
+        # rescue] -> [fetch rescue + emit]; each stage runs one batch
+        # behind the previous, so the device queue stays full while the
+        # host packs
+        s1: collections.deque = collections.deque()
+        s2: collections.deque = collections.deque()
+        for reads, haps in batches:
+            s1.append(self._dispatch(reads, haps))
+            if len(s1) > depth:
+                s2.append(s1.popleft()())
+            if len(s2) > 1:
+                yield s2.popleft()()
+        while s1:
+            s2.append(s1.popleft()())
+            if len(s2) > 1:
+                yield s2.popleft()()
+        while s2:
+            yield s2.popleft()()
+
+    def _dispatch(self, reads: list[dict], haps: list):
+        from mgl_tpu.ops.pairhmm import dispatch_likelihoods
+
+        norm_reads = []
+        for rd in reads:
+            bases = _norm_bases(_as_u8(rd["bases"]))
+            n = len(bases)
+            r = {"bases": bases}
+            for k in ("q", "i", "d", "c"):
+                a = np.asarray(rd[k], dtype=np.uint8)
+                if a.shape != (n,):
+                    raise ValueError(
+                        f"quality track '{k}' length {a.shape} != read "
+                        f"length {n}")
+                r[k] = a
+            norm_reads.append(r)
+        norm_haps = [_norm_bases(_as_u8(h)) for h in haps]
+        return dispatch_likelihoods(norm_reads, norm_haps, self.use_double,
+                                    use_fast_path=self.fast_path,
+                                    impl=self.impl)
+
     def done(self) -> None:  # parity with PairHMMNativeBinding.done()
         pass

@@ -883,7 +883,8 @@ def shared_vmem_bytes(rdlen: int, stream: int, n_segs: int,
 def forward_scores_shared(reads: list[dict], haps: list[np.ndarray],
                           band: int = 32, share: bool = True,
                           pad_rdlen: int = 0,
-                          cols_max: int | None = None) -> np.ndarray:
+                          cols_max: int | None = None,
+                          async_result: bool = False):
     """(n_reads, n_haps) f32 scores via the prefix-sharing shared-hap-set
     kernel.  Scores follow the reference avxf variant: shared
     yInitial = IC/COLS_MAX with a final * COLS_MAX/haplen rescale
@@ -946,11 +947,19 @@ def forward_scores_shared(reads: list[dict], haps: list[np.ndarray],
         jnp.asarray(rbases), jnp.asarray(rlens),
         jnp.float32(y_shared), ph2pr, m2m, enc,
         Rb=Rb, Bp=Bp, scp=scp, band=band, interpret=env_interpret())
-    raw = np.asarray(score)[:n_haps, :n_reads].astype(np.float64)
-    # final rescale, float factors as in the reference (avxf.cc:1086)
-    lens = np.array([np.float32(len(h)) for h in haps], np.float64)
-    out = raw * float(np.float32(cols_max)) / lens[:, None]
-    return out.T.copy()                      # (n_reads, n_haps)
+
+    def finish() -> np.ndarray:
+        raw = np.asarray(score)[:n_haps, :n_reads].astype(np.float64)
+        # final rescale, float factors as in the reference (avxf.cc:1086)
+        lens = np.array([np.float32(len(h)) for h in haps], np.float64)
+        out = raw * float(np.float32(cols_max)) / lens[:, None]
+        return out.T.copy()                  # (n_reads, n_haps)
+
+    if async_result:
+        # deferred fetch: the kernel is dispatched (device queue), the
+        # host keeps working; finish() materializes when called
+        return finish
+    return finish()
 
 
 def prepare_inputs_banded(batch, band: int = 32):

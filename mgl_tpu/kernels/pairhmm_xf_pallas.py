@@ -689,7 +689,8 @@ def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
                             pairs: list[tuple[int, int]],
                             pad_to: tuple[int, int] | None = None,
                             stream: bool = False,
-                            stream_carry: bool = False) -> np.ndarray:
+                            stream_carry: bool = False,
+                            async_result: bool = False):
     """Banded-kernel rescue scores: (B,) f64, 2^1020-scaled (the drop-in
     fast path for ops/xfloat.rescue_scores_xf).  The host ships only raw
     uint8 quality tracks; the xf transition planes are table gathers on
@@ -735,13 +736,20 @@ def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
 
     yih, yil, yie = xf_split(y_init)
     tabs = _xf_tables()
-    packed = np.asarray(_xf_product_forward_tracks(
+    packed_dev = _xf_product_forward_tracks(
         jnp.asarray(q), jnp.asarray(i), jnp.asarray(d), jnp.asarray(c),
         jnp.asarray(rbases), jnp.asarray(rlens),
         jnp.asarray(hap_a), jnp.asarray(haplen),
         jnp.asarray(yih), jnp.asarray(yil), jnp.asarray(yie),
         jnp.asarray(ridx), jnp.asarray(hidx), tabs,
         Rb=Rb, band=band, interpret=env_interpret(),
-        stream=stream, stream_carry=stream_carry))
-    return xf_to_f64(packed[0, :B], packed[1, :B],
-                     packed[2, :B].view(np.int32))
+        stream=stream, stream_carry=stream_carry)
+
+    def finish() -> np.ndarray:
+        packed = np.asarray(packed_dev)
+        return xf_to_f64(packed[0, :B], packed[1, :B],
+                         packed[2, :B].view(np.int32))
+
+    if async_result:
+        return finish
+    return finish()

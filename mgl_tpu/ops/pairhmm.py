@@ -336,7 +336,7 @@ def _shared_hap_chunks(haps: list[np.ndarray], rdlen: int,
 
 
 def _shared_product_scores(reads: list[dict], haps: list[np.ndarray],
-                           band: int = 32) -> np.ndarray | None:
+                           band: int = 32, async_result: bool = False):
     """(n_r, n_h) scores via the prefix-sharing shared-hap-set kernel, or
     None when the plain per-pair product layout is estimated cheaper
     (small read sets leave VPU lanes idle in shared mode).
@@ -373,24 +373,41 @@ def _shared_product_scores(reads: list[dict], haps: list[np.ndarray],
         return None
 
     cols_max = max(len(h) for h in haps)
-    out = np.zeros((n_r, n_h), np.float64)
+    # all kernels dispatch first (device queue fills), fetches happen in
+    # finish() — lets a pipelined caller overlap the next batch's host
+    # packing with this batch's device time
+    pending = []
     for pa, ridx in sorted(buckets.items()):
         sub_reads = [reads[i] for i in ridx]
         for lo, hi in _shared_hap_chunks(haps, pa, band):
-            sub = forward_scores_shared(sub_reads, haps[lo:hi], band=band,
-                                        pad_rdlen=pa, cols_max=cols_max)
-            out[np.asarray(ridx)[:, None], np.arange(lo, hi)[None, :]] = sub
-    return out
+            fin = forward_scores_shared(sub_reads, haps[lo:hi], band=band,
+                                        pad_rdlen=pa, cols_max=cols_max,
+                                        async_result=True)
+            pending.append((fin, ridx, lo, hi))
+
+    def finish() -> np.ndarray:
+        out = np.zeros((n_r, n_h), np.float64)
+        for fin, ridx, lo, hi in pending:
+            out[np.asarray(ridx)[:, None],
+                np.arange(lo, hi)[None, :]] = fin()
+        return out
+
+    if async_result:
+        return finish
+    return finish()
 
 
 def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
-                       pairs: list[tuple[int, int]]) -> np.ndarray:
+                       pairs: list[tuple[int, int]],
+                       async_result: bool = False):
     """Extended-range (f64-class) scores for the rescue tail.
 
     Default: the on-device xfloat kernel (ops/xfloat.py) — the TPU-native
     equivalent of the reference's compute_prob_avxd.cc rescue tier.
     MGL_TPU_RESCUE selects a fallback: 'native' = host C++ threaded f64
-    kernel, 'scalar' = NumPy oracle.  Returns (B,) float64 scaled scores.
+    kernel, 'scalar' = NumPy oracle.  Returns (B,) float64 scaled scores
+    (with ``async_result``: a closure producing them — device kernels are
+    dispatched, fetches deferred for pipelined callers).
     """
     import os
 
@@ -402,7 +419,8 @@ def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
 
         native = pairhmm_f64_rescue(reads, haps, pairs)
         if native is not None:
-            return np.asarray(native, np.float64)
+            out = np.asarray(native, np.float64)
+            return (lambda: out) if async_result else out
         mode = "scalar"  # pragma: no cover - lib unavailable
     if mode == "scalar":
         out = np.zeros(len(pairs), np.float64)
@@ -410,7 +428,7 @@ def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
             rd = reads[ri]
             out[k] = compute_score(haps[hi], rd["bases"], rd["q"], rd["i"],
                                    rd["d"], rd["c"], ctx=CTX_F64)
-        return out
+        return (lambda: out) if async_result else out
 
     from mgl_tpu.batch.bucketing import bucket_pairs
     from mgl_tpu.kernels.pairhmm_xf_pallas import (_xf_fits_stream,
@@ -419,9 +437,9 @@ def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
     from mgl_tpu.ops.xfloat import rescue_scores_xf
 
     use_pallas = _use_pallas("auto") and mode != "xf-scan"
-    out = np.zeros(len(pairs), np.float64)
     la = [len(reads[ri]["bases"]) for ri, _ in pairs]
     lb = [len(haps[hi]) for _, hi in pairs]
+    pending = []
     for (pa, pb), idxs in bucket_pairs(la, lb):
         if use_pallas:
             # banded Pallas xfloat kernel at every length — same tiers as
@@ -429,16 +447,27 @@ def rescue_tier_scores(reads: list[dict], haps: list[np.ndarray],
             # the XLA scan below stays as the any-shape executable spec
             fits = _xf_fits_vmem(pa, pb)
             streamable = fits or _xf_fits_stream(pa, pb)
-            sub = rescue_scores_xf_banded(reads, haps,
+            fin = rescue_scores_xf_banded(reads, haps,
                                           [pairs[k] for k in idxs],
                                           pad_to=(pa, pb),
                                           stream=not fits,
-                                          stream_carry=not streamable)
+                                          stream_carry=not streamable,
+                                          async_result=True)
         else:
             sub = rescue_scores_xf(reads, haps, [pairs[k] for k in idxs],
                                    pad_to=(pa, pb))
-        out[np.asarray(idxs)] = sub
-    return out
+            fin = (lambda s=sub: s)
+        pending.append((fin, idxs))
+
+    def finish() -> np.ndarray:
+        out = np.zeros(len(pairs), np.float64)
+        for fin, idxs in pending:
+            out[np.asarray(idxs)] = fin()
+        return out
+
+    if async_result:
+        return finish
+    return finish()
 
 
 def compute_likelihoods(
@@ -555,18 +584,92 @@ def compute_likelihoods(
                 sub = forward_scores_xla(batch)
             scores[np.asarray(sel, np.int64)] = np.asarray(sub, np.float64)
 
+    return _finish_scores(scores, reads, haps, n_r, n_h, out)
+
+
+def _finish_scores_start(scores: np.ndarray, reads: list[dict],
+                         haps: list[np.ndarray], n_r: int, n_h: int,
+                         out: np.ndarray):
+    """log10 conversion + underflow-rescue DISPATCH over full-product f32
+    scores (flat layout b = ri * n_h + hi).  Returns a closure that
+    fetches the rescue results and returns the finished matrix — the
+    cascade tail, split so pipelined callers overlap the rescue kernels
+    of batch k with the packing of batch k+1."""
     lic32 = float(CTX_F32.log10_initial_constant)
     lic64 = float(CTX_F64.log10_initial_constant)
 
     rescue = np.nonzero(scores < float(MIN_ACCEPTED))[0]
     with np.errstate(divide="ignore", invalid="ignore"):
         out[:] = (np.log10(scores) - lic32).reshape(n_r, n_h)
-        if len(rescue):
-            from mgl_tpu.utils.metrics import METRICS
+    if not len(rescue):
+        return lambda: out
+    from mgl_tpu.utils.metrics import METRICS
 
-            with METRICS.timer("engine.rescue"):
-                vals = rescue_tier_scores(reads, haps,
-                                          [pair_index[b] for b in rescue])
-            flat = out.reshape(-1)
-            flat[rescue] = np.log10(np.asarray(vals, np.float64)) - lic64
-    return out
+    with METRICS.timer("engine.rescue"):
+        fetch = rescue_tier_scores(
+            reads, haps, [(int(b) // n_h, int(b) % n_h) for b in rescue],
+            async_result=True)
+
+    def apply() -> np.ndarray:
+        with METRICS.timer("engine.rescue"):
+            vals = fetch()
+        flat = out.reshape(-1)
+        flat[rescue] = np.log10(np.asarray(vals, np.float64)) - lic64
+        return out
+
+    return apply
+
+
+def _finish_scores(scores: np.ndarray, reads: list[dict],
+                   haps: list[np.ndarray], n_r: int, n_h: int,
+                   out: np.ndarray) -> np.ndarray:
+    """Synchronous cascade tail (see _finish_scores_start)."""
+    return _finish_scores_start(scores, reads, haps, n_r, n_h, out)()
+
+
+def dispatch_likelihoods(reads: list[dict], haps: list[np.ndarray],
+                         use_double: bool = False,
+                         use_fast_path: bool = False,
+                         impl: str = "auto"):
+    """Async form of compute_likelihoods for pipelined batch streams.
+
+    Dispatches the f32 device pass and returns a ``finalize`` closure;
+    calling it fetches the scores and runs the rescue tail.  While the
+    device works on this batch, the caller packs and dispatches the next
+    one — the single-threaded latency-hiding pattern of
+    pipelines/mapper.map_reads_stream (worker threads contend on the
+    device transport; an explicit dispatch/finalize split does not).
+
+    Configurations outside the common full-product shape (use_double,
+    fast_path, duplicate haplotypes, non-Pallas impl, or hap sets the
+    shared-kernel work estimate rejects) complete synchronously here and
+    finalize is a no-op — results are identical to compute_likelihoods
+    in every case.
+    """
+    norm_reads = [{**rd,
+                   "bases": BASE_NORM[np.asarray(rd["bases"], np.uint8)]}
+                  for rd in reads]
+    norm_haps = [BASE_NORM[np.asarray(h, np.uint8)] for h in haps]
+    n_r, n_h = len(norm_reads), len(norm_haps)
+    eligible = (not use_double and not use_fast_path and n_h >= 2
+                and _use_pallas(impl)
+                and len({np.asarray(h).tobytes() for h in norm_haps}) == n_h)
+    fin = (_shared_product_scores(norm_reads, norm_haps, async_result=True)
+           if eligible else None)
+    if fin is None:
+        out = compute_likelihoods(reads, haps, use_double, use_fast_path,
+                                  impl)
+        return lambda: (lambda: out)
+
+    def step1():
+        """Fetch the f32 scores and dispatch the rescue kernels; returns
+        the closure that fetches the rescue and yields the matrix."""
+        from mgl_tpu.utils.metrics import METRICS
+
+        with METRICS.timer("engine.f32"):
+            scores = fin().reshape(-1)
+        out = np.zeros((n_r, n_h), np.float64)
+        return _finish_scores_start(scores, norm_reads, norm_haps,
+                                    n_r, n_h, out)
+
+    return step1

@@ -11,19 +11,23 @@ from __future__ import annotations
 import collections
 import contextlib
 import json
+import threading
 import time
 
 
 class Metrics:
-    """Process-wide counters and timing accumulators."""
+    """Process-wide counters and timing accumulators (thread-safe: the
+    engine's streaming mode accumulates from overlapped batch workers)."""
 
     def __init__(self):
         self.counters: dict[str, float] = collections.defaultdict(float)
         self.timers: dict[str, float] = collections.defaultdict(float)
         self.calls: dict[str, int] = collections.defaultdict(int)
+        self._lock = threading.Lock()
 
     def count(self, name: str, value: float = 1.0) -> None:
-        self.counters[name] += value
+        with self._lock:
+            self.counters[name] += value
 
     @contextlib.contextmanager
     def timer(self, name: str):
@@ -31,8 +35,10 @@ class Metrics:
         try:
             yield
         finally:
-            self.timers[name] += time.perf_counter() - t0
-            self.calls[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.timers[name] += dt
+                self.calls[name] += 1
 
     def snapshot(self) -> dict:
         return {

@@ -80,6 +80,22 @@ def test_rescue_agreement_vs_cpp(pairhmm_golden):
             assert abs(math.log10(s) - math.log10(g32)) < 1e-5
 
 
+def test_engine_stream_matches_sequential(pairhmm_kat):
+    """compute_likelihoods_stream pipelines batches (dispatch/finalize
+    split, one thread); results come back in input order, bit-identical
+    to sequential calls."""
+    cases = pairhmm_kat[:6]
+    reads = [kat_read(c) for c in cases]
+    haps = [as_u8(c["hap"]) for c in cases]
+    eng = PairHmmEngine()
+    batches = [(reads[i:i + 2], haps[i:i + 2]) for i in (0, 2, 4)]
+    seq = [eng.compute_likelihoods(r, h) for r, h in batches]
+    piped = list(eng.compute_likelihoods_stream(iter(batches), depth=2))
+    assert len(piped) == len(seq)
+    for a, b in zip(seq, piped):
+        assert np.array_equal(a, b)
+
+
 def test_engine_validation():
     eng = PairHmmEngine()
     with pytest.raises(ValueError):

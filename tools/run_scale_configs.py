@@ -211,6 +211,8 @@ def config5(pos: np.ndarray, score: np.ndarray, n_sort: int = 10_000_000):
         "e2e_reads": int(n),
         "e2e_sort_s": round(t_e2e, 3),
         "e2e_sort_warm_s": round(t_e2e_warm, 3),
+        "note": "e2e_sort_s is cold-compile-dominated (first XLA sort "
+                "compile at this shape); compare e2e_sort_warm_s run-to-run",
         "sort_10m_device_s": round(t_10m, 4),
         "sort_10m_first_call_s": round(t_10m_first, 3),
         "sort_10m_mkeys_per_s": round(n_sort / t_10m / 1e6, 1),
