@@ -1033,24 +1033,44 @@ def sw_cigar_windows(index: "ReferenceIndex", starts: np.ndarray,
         fn = cache[key] = _windowed_scores_fn(
             wlen, L, band=band, with_traceback=True, indel_init=indel_init,
             blocked=blocked)
-    ez_dev, btr = fn(ref_dev, tuple(jnp.asarray(s) for s in st),
-                     jnp.asarray(rd),
-                     params.match, params.mismatch, params.gap_open,
-                     params.gap_extend)
+    ez_dev, btr_dev = fn(ref_dev, tuple(jnp.asarray(s) for s in st),
+                         jnp.asarray(rd),
+                         params.match, params.mismatch, params.gap_open,
+                         params.gap_extend)
+    QR = _round_up(L + band, 8)
+    WPB = (QR - band + band - 1 + 7) // 8
+
+    import os as _os
+
+    if _os.environ.get("MGL_TPU_DEVICE_DECODE", "1") != "0":
+        # on-device traceback walk: only packed segments (~100 B/pair)
+        # transfer instead of the nibble words (~21 KB/pair) — the
+        # traceback tier's cost is the fetch, not the walk
+        from mgl_tpu.ops.cigar_device import decode_cigars_device
+
+        res = decode_cigars_device(btr_dev, ez_dev, wlen, L, strategy, B,
+                                   band, WPB)
+        need = [b for b, r in enumerate(res) if r is None]
+        if not need:
+            return res
+    else:
+        res = [None] * B
+        need = list(range(B))
+
+    # host decode for overflow lanes (or when device decode is disabled)
     ez_np = np.asarray(ez_dev)[:, :B].astype(np.int64)
     ez = dict(zip(("mqe", "mqe_t", "max", "max_t", "max_q", "seg_length"),
                   ez_np))
-    btr = np.asarray(btr)
-    QR = _round_up(L + band, 8)
-    WPB = (QR - band + band - 1 + 7) // 8
+    btr = np.asarray(btr_dev)
     tlen = np.full(B, wlen, np.int32)
     qlen = np.full(B, L, np.int32)
     native = cigar_decode_bulk_banded(btr, ez, tlen, qlen, int(strategy),
                                       band, WPB, device_layout=True)
     if native is not None:
-        return native
-    out = []
-    for b in range(B):
+        for b in need:
+            res[b] = native[b]
+        return res
+    for b in need:
         wb = btr[:, :, b]
 
         def nib(i, j, wb=wb):
@@ -1060,8 +1080,8 @@ def sw_cigar_windows(index: "ReferenceIndex", starts: np.ndarray,
             return (int(wb[g, s]) >> ((t & 7) * 4)) & 0xF
 
         ez_b = {k: v[b] for k, v in ez.items()}
-        out.append(decode_nib_fn(nib, ez_b, wlen, L, strategy))
-    return out
+        res[b] = decode_nib_fn(nib, ez_b, wlen, L, strategy)
+    return res
 
 
 def sw_score_batch(targets: np.ndarray, queries: np.ndarray, params,

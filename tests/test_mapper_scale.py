@@ -113,6 +113,50 @@ def test_native_seed_vote_bit_identical(monkeypatch):
     assert np.array_equal(nm, (L - eq.sum(axis=1)).astype(np.int32))
 
 
+def test_device_cigar_decode_matches_host(monkeypatch):
+    """The on-device traceback walk (ops/cigar_device) produces CIGARs and
+    offsets identical to the host decoder across all four overhang
+    strategies, including deletions, insertions, heavy-mismatch clipped
+    reads, and multi-event reads that stress the segment buffer."""
+    from mgl_tpu.core.params import OverhangStrategy, SWParameters
+    from mgl_tpu.pipelines.mapper import sw_cigar_windows
+
+    rng = np.random.default_rng(5)
+    ref = rng.choice(BASES, size=120_000)
+    L, N = 120, 96
+    wlen = L + 48
+    tp = rng.integers(24, len(ref) - L - 24, N)
+    reads = np.zeros((N, L), np.uint8)
+    for i in range(N):
+        s = tp[i]
+        r = ref[s: s + L].copy()
+        kind = i % 5
+        if kind == 1:
+            r = np.concatenate([ref[s: s + 50], ref[s + 53: s + L + 3]])
+        elif kind == 2:
+            r = np.concatenate([ref[s: s + 60], rng.choice(BASES, 4),
+                                ref[s + 60: s + L - 4]])
+        elif kind == 3:
+            m = rng.random(L) < 0.1
+            r[m] = rng.choice(BASES, int(m.sum()))
+            r[:7] = rng.choice(BASES, 7)
+        elif kind == 4:
+            for o in (20, 45, 70, 95):
+                r[o] = BASES[(int(np.searchsorted(BASES, r[o])) + 1) % 4]
+            r = np.concatenate([r[:30], r[32:], ref[s + L: s + L + 2]])
+        reads[i] = r[:L]
+    starts = (tp - 24).astype(np.int64)
+    index = ReferenceIndex.build(ref, k=16)
+    params = SWParameters(25, -50, 110, 6)
+    for strat in (OverhangStrategy.SOFTCLIP, OverhangStrategy.INDEL,
+                  OverhangStrategy.LEADING_INDEL, OverhangStrategy.IGNORE):
+        monkeypatch.setenv("MGL_TPU_DEVICE_DECODE", "1")
+        a = sw_cigar_windows(index, starts, reads, wlen, params, strat)
+        monkeypatch.setenv("MGL_TPU_DEVICE_DECODE", "0")
+        b = sw_cigar_windows(index, starts, reads, wlen, params, strat)
+        assert a == b, strat
+
+
 def test_positions_past_int32_boundary():
     """Reads placed beyond 2.147 Gbp map to the right (uint32) offsets:
     the voting/verify arithmetic must widen to int64 throughout."""
