@@ -678,11 +678,17 @@ def _xf_product_forward_tracks(q, i, d, c, bases, rlens,
         planes.hi, planes.lo, planes.e, g1.hi, g1.lo, g1.e,
         ridx, hidx, band=band, interpret=interpret, stream=stream,
         stream_carry=stream_carry)
-    # one packed (3, Bp) f32 result: hi, lo, bitcast(e) — a single
-    # device->host fetch instead of three serialized round trips (the
-    # tunnel charges ~25 ms per synchronous transfer)
-    return jnp.stack([s.hi[0], s.lo[0],
-                      jax.lax.bitcast_convert_type(s.e[0], jnp.float32)])
+    # one packed (3, Bp) INT32 result: bitcast(hi), bitcast(lo), e — a
+    # single device->host fetch instead of three serialized round trips
+    # (the tunnel charges ~25 ms per synchronous transfer).  The pack
+    # must ride in int32, not f32: int32 exponents bitcast to f32 are
+    # denormal/NaN bit patterns, and XLA:TPU flushes denormals to zero
+    # and canonicalizes NaNs even in pure data movement (measured — this
+    # zeroed every rescue exponent on hardware while the CPU interpreter,
+    # which preserves denormals, stayed bit-exact).
+    return jnp.stack([jax.lax.bitcast_convert_type(s.hi[0], jnp.int32),
+                      jax.lax.bitcast_convert_type(s.lo[0], jnp.int32),
+                      s.e[0]])
 
 
 def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
@@ -747,8 +753,9 @@ def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
 
     def finish() -> np.ndarray:
         packed = np.asarray(packed_dev)
-        return xf_to_f64(packed[0, :B], packed[1, :B],
-                         packed[2, :B].view(np.int32))
+        return xf_to_f64(packed[0, :B].view(np.float32),
+                         packed[1, :B].view(np.float32),
+                         packed[2, :B])
 
     if async_result:
         return finish
