@@ -91,8 +91,41 @@ def bench_pairhmm(B=32768, rdlen=150, haplen=400, iters=4):
     return B * rdlen * haplen / best / 1e9, best
 
 
+def _shared_hapset(rng, haplen: int, n_haps: int, mode: str):
+    """Hap sets with controlled prefix sharing for the sharing sweep.
+
+    mode: 'none' (independent haps, ~0% shared), 'low' (~30%), 'high'
+    (~60%, the original headline shape), or 'gatk' (variant-site allele
+    combinations on one consensus — the structure GATK's assembler
+    produces — lexicographically sorted so consecutive haps share the
+    prefix up to their first differing variant site)."""
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    base = rng.choice(ACGT, haplen)
+    if mode == "none":
+        return [rng.choice(ACGT, haplen) for _ in range(n_haps)]
+    if mode == "gatk":
+        sites = sorted(int(x) for x in rng.choice(
+            np.arange(16, haplen - 16), size=6, replace=False))
+        haps = []
+        for _ in range(n_haps):
+            h = base.copy()
+            for s in sites:
+                if rng.random() < 0.5:
+                    h[s] = ACGT[(int(np.searchsorted(ACGT, h[s])) + 1) % 4]
+            haps.append(h)
+        return [h for h in sorted(haps, key=lambda a: a.tobytes())]
+    lo, hi = ((haplen // 4, haplen * 2 // 5) if mode == "low"
+              else (haplen * 3 // 8, haplen - 10))
+    haps = [base.copy()]
+    for p in sorted(int(x) for x in rng.integers(lo, hi, n_haps - 1)):
+        h = haps[-1].copy()
+        h[p] = ACGT[(int(np.searchsorted(ACGT, h[p])) + 1) % 4]
+        haps.append(h)
+    return haps
+
+
 def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
-                         iters=3):
+                         iters=3, hap_mode="high", repeats=5):
     """GATK-shaped product through the prefix-sharing shared-hap-set
     kernel (device-resident timing)."""
     import jax.numpy as jnp
@@ -104,13 +137,8 @@ def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
 
     rng = np.random.default_rng(5)
     ACGT = np.frombuffer(b"ACGT", np.uint8)
-    base = rng.choice(ACGT, haplen)
-    haps = [base.copy()]
-    for p in sorted(int(x) for x in
-                    rng.integers(haplen * 3 // 8, haplen - 10, n_haps - 1)):
-        h = haps[-1].copy()
-        h[p] = ACGT[(int(np.searchsorted(ACGT, h[p])) + 1) % 4]
-        haps.append(h)
+    haps = _shared_hapset(rng, haplen, n_haps, hap_mode)
+    base = haps[0]
     reads = []
     for _ in range(n_reads):
         st = int(rng.integers(0, haplen - rdlen))
@@ -158,7 +186,7 @@ def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
     _sync(run())
     _sync(run())
     best = float("inf")
-    for _ in range(5):
+    for _ in range(repeats):
         t0 = time.time()
         outs = [run() for _ in range(iters)]
         for o in outs:
@@ -255,6 +283,14 @@ def main():
     sw_score_gcups, _ = bench_sw(with_traceback=False)
     ph_gcups, ph_t = bench_pairhmm()
     ph_shared_gcups, sharing = bench_pairhmm_shared()
+    # sharing sweep: bounds the prefix-sharing claim (the headline 'high'
+    # shape shares ~61%; GATK hap sets share less)
+    shared_sweep = {}
+    for mode in ("none", "low", "gatk"):
+        g, s = bench_pairhmm_shared(hap_mode=mode, repeats=3)
+        shared_sweep[mode] = {"gcups": round(g, 2), "sharing": round(s, 3)}
+    shared_sweep["high"] = {"gcups": round(ph_shared_gcups, 2),
+                            "sharing": round(sharing, 3)}
     (engine_pairs, engine_pairs_stream,
      engine_pairs_double, engine_stages) = bench_engine()
 
@@ -271,6 +307,7 @@ def main():
             "pairhmm_f32_gcups": round(ph_gcups, 2),
             "pairhmm_shared_gcups": round(ph_shared_gcups, 2),
             "pairhmm_shared_prefix_saving": round(sharing, 3),
+            "pairhmm_shared_gcups_by_sharing": shared_sweep,
             "engine_pairs_per_s": round(engine_pairs, 0),
             "engine_pairs_per_s_stream": round(engine_pairs_stream, 0),
             "engine_pairs_per_s_double": round(engine_pairs_double, 0),

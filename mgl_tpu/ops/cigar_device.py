@@ -153,7 +153,10 @@ def finish_cigars(segs: np.ndarray, tail: np.ndarray, ez: dict,
             seg0 = int(ez["seg_length"][b])
             if seg0 > 0:
                 result.append((STATE_CLIP, seg0))
-        for k in range(nseg):
+        # nseg can exceed the buffer on overflowed lanes (the walk keeps
+        # counting past seg_cap); the caller replaces those lanes with
+        # None, but this formatting pass still runs over them first
+        for k in range(min(nseg, segs.shape[0])):
             p = int(segs[k, b])
             result.append((_STATE_CHR[p & 3], p >> 2))
         state = _STATE_CHR[cur_state]

@@ -7,8 +7,12 @@ tools/oracle/build.sh).  Unlike tests/golden/*, these cases are freshly
 randomized every run, so parity is continuously re-established rather
 than pinned to a stored corpus.
 
-Skipped when the oracle binary is absent (build it with
-``tools/oracle/build.sh``; requires /root/reference mounted).
+The oracle binary is untracked (it links against the read-only reference
+checkout), so a fresh clone builds it on demand here: if
+``/root/reference`` is mounted and the binary is missing, this module
+runs ``tools/oracle/build.sh`` at collection and FAILS (not skips) if the
+build breaks — a silent skip would let a full-suite run validate nothing
+against the reference.  Only a missing reference checkout skips.
 """
 
 from __future__ import annotations
@@ -21,9 +25,29 @@ import numpy as np
 import pytest
 
 ORACLE = pathlib.Path(__file__).resolve().parent.parent / "tools/oracle/oracle"
+_REFERENCE = pathlib.Path("/root/reference/src/main/native")
 
-pytestmark = pytest.mark.skipif(not ORACLE.exists(),
-                                reason="oracle binary not built")
+
+def _ensure_oracle() -> str | None:
+    """Build the oracle if absent.  Returns a skip reason, or None when
+    the binary is available; raises if the reference is present but the
+    build fails (loud by design)."""
+    if ORACLE.exists():
+        return None
+    if not _REFERENCE.exists():
+        return "reference checkout absent; cannot build differential oracle"
+    r = subprocess.run(["bash", str(ORACLE.parent / "build.sh")],
+                       capture_output=True, text=True, timeout=900)
+    if r.returncode != 0 or not ORACLE.exists():
+        raise RuntimeError(
+            "differential-oracle build failed (tools/oracle/build.sh) — "
+            "refusing to skip the fuzz-vs-reference suite:\n"
+            f"{r.stdout}\n{r.stderr}")
+    return None
+
+
+_SKIP = _ensure_oracle()
+pytestmark = pytest.mark.skipif(_SKIP is not None, reason=_SKIP or "")
 
 ALPHA = np.frombuffer(b"ACGT", np.uint8)
 

@@ -333,6 +333,83 @@ def test_xfloat_banded_kernel_on_tpu(tpu_backend, pairhmm_golden):
         assert abs(math.log10(got[k]) - math.log10(wd)) < 1e-5, k
 
 
+def test_denormal_canary_result_packing(tpu_backend, pairhmm_golden):
+    """Fast canary for the hardware-only denormal-corruption class
+    (CLAUDE.md round-4 hazard): XLA:TPU flushes f32 denormals and
+    canonicalizes NaN payloads even in pure data movement, so every
+    packed kernel result must ride INT32 across the XLA level.  Round 3
+    shipped a corrupted xf fetch that only the 8-minute full hw parity
+    suite caught; this test catches the class in seconds.
+
+    (a) denormal/NaN-payload bit patterns round-trip bit-exactly through
+        the exact movement ops the packs use (stack/copy/reshape/device
+        transfer) when typed int32;
+    (b) each packed-fetch path's device array dtype is integer — if a
+        future change re-packs in f32, this fails before any numeric
+        parity test does;
+    (c) one xf rescue row fetches hardware-correct (nonzero-exponent)
+        results end-to-end vs the XLA scan spec.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    # (a) the movement contract int32 packs rely on
+    pats = np.array([0x00000001, 0x00000003, 0x007fffff,   # f32 denormals
+                     0x7f800001, 0xffc00001,               # NaN payloads
+                     0x80000000, 0x00400000], np.uint32).view(np.int32)
+    moved = np.asarray(jax.jit(
+        lambda v: (jnp.stack([v, v]).reshape(2, -1) + 0).copy())(
+            jnp.asarray(pats)))
+    assert np.array_equal(moved[0], pats) and np.array_equal(moved[1], pats)
+
+    # (b) dtype gates on the live packed-fetch paths
+    import jax.numpy as _jnp
+
+    from mgl_tpu.kernels.sw_pallas import (prepare_inputs_banded,
+                                           sw_pallas_banded)
+
+    t = np.frombuffer(b"ACGTACGTACGTACGT", np.uint8).astype(np.int32)[None]
+    q = np.frombuffer(b"ACGTACGT", np.uint8).astype(np.int32)[None]
+    tchar, qp, tl, ql = prepare_inputs_banded(
+        t, np.array([16], np.int32), q, np.array([8], np.int32))
+    ez_dev, btr_dev = sw_pallas_banded(
+        _jnp.asarray(tchar), _jnp.asarray(qp), _jnp.asarray(tl),
+        _jnp.asarray(ql), 25, -50, 110, 6, indel_init=False,
+        with_traceback=True)
+    assert np.issubdtype(ez_dev.dtype, np.integer), ez_dev.dtype
+    assert np.issubdtype(btr_dev.dtype, np.integer), btr_dev.dtype
+
+    from mgl_tpu.kernels.pairhmm_xf_pallas import rescue_scores_xf_banded
+    from mgl_tpu.ops.xfloat import rescue_scores_xf
+    from tests.conftest import as_u8
+
+    row = pairhmm_golden[0]
+    reads = [dict(bases=as_u8(row["read"]), q=np.array(row["q"], np.uint8),
+                  i=np.array(row["i"], np.uint8),
+                  d=np.array(row["d"], np.uint8),
+                  c=np.array(row["c"], np.uint8))]
+    haps = [as_u8(row["hap"])]
+    finish = rescue_scores_xf_banded(reads, haps, [(0, 0)],
+                                     async_result=True)
+    packed_cells = [c.cell_contents for c in (finish.__closure__ or ())
+                    if hasattr(c.cell_contents, "dtype")]
+    assert packed_cells, "async finish() no longer closes over the " \
+        "packed device result — update this canary with the new fetch path"
+    for arr in packed_cells:
+        assert np.issubdtype(arr.dtype, np.integer), (
+            "packed xf result rides a float dtype across the XLA level — "
+            "hardware will flush denormal bit patterns", arr.dtype)
+
+    # (c) end-to-end value check on the single row (seconds, not minutes);
+    # banded kernel vs scan spec contract is 1e-9 in log10 (different
+    # summation order), and a flushed exponent would be ~36 log10 off
+    got = finish()
+    want = rescue_scores_xf(reads, haps, [(0, 0)])
+    assert (got == 0).all() == (want == 0).all()
+    nz = want != 0
+    assert np.all(np.abs(np.log10(got[nz]) - np.log10(want[nz])) < 1e-9)
+
+
 def test_xfloat_streaming_tiers_on_tpu(tpu_backend, pairhmm_golden):
     """xf stream / stream+stream_carry on real Mosaic DMA: bit-identical
     f64 scores to the all-VMEM xf kernel on a golden slice plus a
