@@ -124,10 +124,9 @@ def _shared_hapset(rng, haplen: int, n_haps: int, mode: str):
     return haps
 
 
-def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
-                         iters=3, hap_mode="high", repeats=5):
-    """GATK-shaped product through the prefix-sharing shared-hap-set
-    kernel (device-resident timing)."""
+def _stage_shared_kernel(reads, haps):
+    """Pre-stage the prefix-sharing shared-hap-set kernel's device args
+    for (reads, haps); returns (run closure, sharing fraction)."""
     import jax.numpy as jnp
 
     import mgl_tpu.kernels.pairhmm_pallas as K
@@ -135,19 +134,7 @@ def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
     from mgl_tpu.core.context import CTX_F32
     from mgl_tpu.ops.pairhmm import compute_haplotype_similarities
 
-    rng = np.random.default_rng(5)
-    ACGT = np.frombuffer(b"ACGT", np.uint8)
-    haps = _shared_hapset(rng, haplen, n_haps, hap_mode)
-    base = haps[0]
-    reads = []
-    for _ in range(n_reads):
-        st = int(rng.integers(0, haplen - rdlen))
-        b = base[st: st + rdlen].copy()
-        b[rng.integers(0, rdlen)] = ACGT[rng.integers(0, 4)]
-        q = rng.integers(15, 45, rdlen).astype(np.uint8)
-        reads.append(dict(bases=b, q=q, i=q, d=q,
-                          c=np.full(rdlen, 10, np.uint8)))
-
+    n_reads, n_haps = len(reads), len(haps)
     pos, _, cmax = compute_haplotype_similarities(haps)
     planes, rchar, rslen, pgapm1 = K.pack_reads_for_product(reads, 32)
     Bp = K._round_up(n_reads, K.LANES)
@@ -183,6 +170,28 @@ def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
            (hstream, padl(rchar, np.int32), padl(rslen, np.int32), segtab,
             *(padl(p_, np.float32) for p_ in planes), u0)]
     run = lambda: K.pairhmm_pallas_shared(*dev, scp=scp, band=32)
+    sharing = 1.0 - S / sum(len(h) for h in haps)
+    return run, sharing
+
+
+def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
+                         iters=3, hap_mode="high", repeats=5):
+    """GATK-shaped product through the prefix-sharing shared-hap-set
+    kernel (device-resident timing)."""
+    rng = np.random.default_rng(5)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    haps = _shared_hapset(rng, haplen, n_haps, hap_mode)
+    base = haps[0]
+    reads = []
+    for _ in range(n_reads):
+        st = int(rng.integers(0, haplen - rdlen))
+        b = base[st: st + rdlen].copy()
+        b[rng.integers(0, rdlen)] = ACGT[rng.integers(0, 4)]
+        q = rng.integers(15, 45, rdlen).astype(np.uint8)
+        reads.append(dict(bases=b, q=q, i=q, d=q,
+                          c=np.full(rdlen, 10, np.uint8)))
+
+    run, sharing = _stage_shared_kernel(reads, haps)
     _sync(run())
     _sync(run())
     best = float("inf")
@@ -193,16 +202,13 @@ def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
             _sync(o)
         best = min(best, (time.time() - t0) / iters)
     cells = n_reads * rdlen * sum(len(h) for h in haps)
-    sharing = 1.0 - S / sum(len(h) for h in haps)
     return cells / best / 1e9, sharing
 
 
-def bench_engine(n_reads=512, n_haps=12, rdlen=151, haplen=420):
-    """End-to-end engine throughput: the full cascade (seed/dedup, f32
-    device pass, extended-range rescue tail) including host packing and
-    transfers — the number that covers what the kernel GCUPS excludes."""
-    from mgl_tpu.api import PairHmmEngine
-
+def _engine_fixture(n_reads=512, n_haps=12, rdlen=151, haplen=420):
+    """GATK-region-shaped batch with a 1/16 mismatched-read tail that
+    rides the rescue tier (shared by the end-to-end and device-resident
+    engine benches)."""
     rng = np.random.default_rng(7)
     ACGT = np.frombuffer(b"ACGT", np.uint8)
     base = rng.choice(ACGT, haplen)
@@ -224,6 +230,89 @@ def bench_engine(n_reads=512, n_haps=12, rdlen=151, haplen=420):
             q = rng.integers(15, 45, rdlen).astype(np.uint8)
         reads.append(dict(bases=b, q=q, i=q, d=q,
                           c=np.full(rdlen, 10, np.uint8)))
+    return reads, haps
+
+
+def bench_engine_device_resident(n_reads=512, n_haps=12, rdlen=151,
+                                 haplen=420, iters=8, repeats=5):
+    """Device-resident cascade throughput at the engine bench shape: the
+    f32 shared-hap-set pass over the full product plus the xf rescue
+    kernel over the 1/16 underflow tail, inputs PRE-STAGED on device and
+    launches queued back-to-back with one sync at the end.  This is the
+    chip-side cost of exactly the work bench_engine times end-to-end;
+    the gap between the two numbers is host packing + per-call transport
+    latency (the dev tunnel charges ~25-35 ms per synchronous call),
+    not kernel time."""
+    import jax.numpy as jnp
+
+    import mgl_tpu.kernels.pairhmm_xf_pallas as XF
+    from mgl_tpu.kernels.pairhmm_pallas import (BASE_ENC, _stack_tracks,
+                                                env_interpret)
+    from mgl_tpu.core.context import CTX_F64
+    from mgl_tpu.ops.pairhmm import BASE_NORM
+    from mgl_tpu.ops.xfloat import xf_split
+
+    reads, haps = _engine_fixture(n_reads, n_haps, rdlen, haplen)
+    reads = [{**r, "bases": BASE_NORM[r["bases"]]} for r in reads]
+    haps = [BASE_NORM[h] for h in haps]
+    run_f32, _ = _stage_shared_kernel(reads, haps)
+
+    # rescue tail: every hap of each mismatched read (the engine's actual
+    # underflow set at this fixture), staged as rescue_scores_xf_banded
+    # does (kernels/pairhmm_xf_pallas.py:694-752) but with device args
+    # built once outside the timed region
+    tail_reads = [reads[k] for k in range(0, n_reads, 16)]
+    pairs = [(r, h) for r in range(len(tail_reads)) for h in range(n_haps)]
+    B = len(pairs)
+    band = 32
+    Bp = XF._round_up(B, XF.LANES)
+    q, i, d, c, rbases, rlens = _stack_tracks(tail_reads)
+    Rb = XF._round_up(int(rlens.max()), band)
+    hmax = max(len(h) for h in haps)
+    hap_a = np.zeros((hmax + band, n_haps), np.int32)
+    haplen_a = np.zeros((1, n_haps), np.int32)
+    y_init = np.zeros((1, n_haps), np.float64)
+    for k, hp in enumerate(haps):
+        hap_a[: len(hp), k] = BASE_ENC[np.asarray(hp)]
+        haplen_a[0, k] = len(hp)
+        y_init[0, k] = float(CTX_F64.initial_constant) / float(len(hp))
+    pi = np.asarray(pairs, np.int64)
+    ridx = np.zeros(Bp, np.int64)
+    hidx = np.zeros(Bp, np.int64)
+    ridx[:B] = pi[:, 0]
+    hidx[:B] = pi[:, 1]
+    yih, yil, yie = xf_split(y_init)
+    tabs = XF._xf_tables()
+    xf_args = tuple(jnp.asarray(a) for a in
+                    (q, i, d, c, rbases, rlens, hap_a, haplen_a,
+                     yih, yil, yie, ridx, hidx))
+    run_xf = lambda: XF._xf_product_forward_tracks(
+        *xf_args, tabs, Rb=Rb, band=band, interpret=env_interpret(),
+        stream=False, stream_carry=False)
+
+    _sync(run_f32())
+    _sync(run_xf())
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        outs = [(run_f32(), run_xf()) for _ in range(iters)]
+        # one sync: the single device stream executes dispatches in
+        # order, so the last result's completion implies all completed —
+        # per-output syncs would re-add a ~25 ms tunnel round trip each,
+        # which is exactly the transport cost this bench excludes
+        _sync(outs[-1][0])
+        _sync(outs[-1][1])
+        best = min(best, (time.time() - t0) / iters)
+    return n_reads * n_haps / best
+
+
+def bench_engine(n_reads=512, n_haps=12, rdlen=151, haplen=420):
+    """End-to-end engine throughput: the full cascade (seed/dedup, f32
+    device pass, extended-range rescue tail) including host packing and
+    transfers — the number that covers what the kernel GCUPS excludes."""
+    from mgl_tpu.api import PairHmmEngine
+
+    reads, haps = _engine_fixture(n_reads, n_haps, rdlen, haplen)
     from mgl_tpu.utils.metrics import METRICS
 
     eng = PairHmmEngine()
@@ -293,6 +382,7 @@ def main():
                             "sharing": round(sharing, 3)}
     (engine_pairs, engine_pairs_stream,
      engine_pairs_double, engine_stages) = bench_engine()
+    engine_pairs_device = bench_engine_device_resident(repeats=3)
 
     vs = sw_gcups / baseline["sw_avx_gcups_150"]
     out = {
@@ -311,6 +401,8 @@ def main():
             "engine_pairs_per_s": round(engine_pairs, 0),
             "engine_pairs_per_s_stream": round(engine_pairs_stream, 0),
             "engine_pairs_per_s_double": round(engine_pairs_double, 0),
+            "engine_pairs_per_s_device_resident": round(engine_pairs_device,
+                                                        0),
             "engine_stage_s": engine_stages,
             "pairhmm_vs_baseline": round(
                 ph_gcups / baseline["pairhmm_avxf_gcups_150x400"], 1),

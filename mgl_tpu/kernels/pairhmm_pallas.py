@@ -948,6 +948,15 @@ def forward_scores_shared(reads: list[dict], haps: list[np.ndarray],
         jnp.float32(y_shared), ph2pr, m2m, enc,
         Rb=Rb, Bp=Bp, scp=scp, band=band, interpret=env_interpret())
 
+    # start the device->host transfer as soon as the kernel completes
+    # (non-blocking; ~0.5 ms to issue on the dev tunnel): by the time a
+    # pipelined caller's finish() runs, the bytes are already host-side
+    # and np.asarray costs ~0 instead of a ~25 ms synchronous round trip
+    try:
+        score.copy_to_host_async()
+    except (AttributeError, RuntimeError):  # pragma: no cover
+        pass
+
     def finish() -> np.ndarray:
         raw = np.asarray(score)[:n_haps, :n_reads].astype(np.float64)
         # final rescale, float factors as in the reference (avxf.cc:1086)

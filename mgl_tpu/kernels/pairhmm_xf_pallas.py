@@ -751,6 +751,14 @@ def rescue_scores_xf_banded(reads: list[dict], haps: list[np.ndarray],
         Rb=Rb, band=band, interpret=env_interpret(),
         stream=stream, stream_carry=stream_carry)
 
+    # begin the device->host copy in the background (non-blocking): a
+    # pipelined caller's finish() then reads local bytes instead of
+    # paying a synchronous tunnel round trip
+    try:
+        packed_dev.copy_to_host_async()
+    except (AttributeError, RuntimeError):  # pragma: no cover
+        pass
+
     def finish() -> np.ndarray:
         packed = np.asarray(packed_dev)
         return xf_to_f64(packed[0, :B].view(np.float32),

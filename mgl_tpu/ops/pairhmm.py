@@ -141,48 +141,71 @@ def pack_pairs(
         rmax, hmax = pad_to
     R = rmax + 1
 
-    # per-read transition rows (computed once per read, broadcast to pairs)
-    trans = {}
-    for ri in {ri for ri, _ in pair_index}:
-        rd = reads[ri]
-        t = read_transition_rows(rd["q"], rd["i"], rd["d"], rd["c"], CTX_F32)
-        distm = t[5]
-        one = np.float32(1.0)
-        third = np.float32(1.0) / np.float32(3.0)
-        trans[ri] = t[:5] + ((one - distm).astype(np.float32),
-                             (distm * third).astype(np.float32))
+    # Per-UNIQUE-read/hap staging + per-pair fancy-index gather: the loops
+    # below run over distinct reads/haps only (a full product touches each
+    # once), and the B-sized expansion is vectorized numpy — the per-pair
+    # Python loop this replaces dominated engine host time at GATK region
+    # shapes (B = n_r * n_h pairs from n_r + n_h sequences).
+    ur = sorted({ri for ri, _ in pair_index})
+    uh = sorted({hi for _, hi in pair_index})
+    rmap = {ri: k for k, ri in enumerate(ur)}
+    hmap = {hi: k for k, hi in enumerate(uh)}
 
-    out = PairHMMBatch(
-        hap=np.zeros((B, hmax), np.int32),
-        haplen=np.zeros(B, np.int32),
-        rchar=np.zeros((B, R), np.int32),
-        rslen=np.zeros(B, np.int32),
-        p_mm=np.zeros((B, R), np.float32),
-        p_gapm=np.zeros((B, R), np.float32),
-        p_mx=np.zeros((B, R), np.float32),
-        p_my=np.zeros((B, R), np.float32),
-        p_zz=np.zeros((B, R), np.float32),
-        distm_match=np.zeros((B, R), np.float32),
-        distm_mis=np.zeros((B, R), np.float32),
-        y_init=np.zeros(B, np.float32),
+    hap_stack = np.zeros((len(uh), hmax), np.int32)
+    haplen_u = np.zeros(len(uh), np.int32)
+    for k, hi in enumerate(uh):
+        hp = haps[hi]
+        hap_stack[k, : len(hp)] = hp
+        haplen_u[k] = len(hp)
+
+    # 7 transition/emission planes + rchar, one row per unique read; the
+    # quality tracks are stacked once and read_transition_rows runs ONE
+    # batched table-lookup pass (it accepts any leading batch shape) —
+    # per-element values are identical to per-read calls, and columns
+    # past each read's length are masked back to the zero padding the
+    # kernels' pad-invariance requires
+    nq = len(ur)
+    qs = np.zeros((4, nq, rmax), np.uint8)
+    rchar_u = np.zeros((nq, R), np.int32)
+    rslen_u = np.zeros(nq, np.int32)
+    for k, ri in enumerate(ur):
+        rd = reads[ri]
+        n = len(rd["bases"])
+        qs[0, k, :n] = rd["q"]
+        qs[1, k, :n] = rd["i"]
+        qs[2, k, :n] = rd["d"]
+        qs[3, k, :n] = rd["c"]
+        rchar_u[k, 1: n + 1] = rd["bases"]
+        rslen_u[k] = n
+    t = read_transition_rows(qs[0], qs[1], qs[2], qs[3], CTX_F32)
+    one = np.float32(1.0)
+    third = np.float32(1.0) / np.float32(3.0)
+    plane_u = np.empty((nq, 7, R), np.float32)
+    for j in range(5):
+        plane_u[:, j] = t[j]
+    distm = t[5]
+    plane_u[:, 5] = one - distm
+    plane_u[:, 6] = distm * third
+    plane_u *= (np.arange(R) <= rslen_u[:, None])[:, None, :]
+
+    ridx = np.fromiter((rmap[ri] for ri, _ in pair_index), np.int64, B)
+    hidx = np.fromiter((hmap[hi] for _, hi in pair_index), np.int64, B)
+    planes = plane_u[ridx]                      # (B, 7, R)
+    return PairHMMBatch(
+        hap=hap_stack[hidx],
+        haplen=haplen_u[hidx],
+        rchar=rchar_u[ridx],
+        rslen=rslen_u[ridx],
+        p_mm=planes[:, 0],
+        p_gapm=planes[:, 1],
+        p_mx=planes[:, 2],
+        p_my=planes[:, 3],
+        p_zz=planes[:, 4],
+        distm_match=planes[:, 5],
+        distm_mis=planes[:, 6],
+        y_init=(np.float32(CTX_F32.initial_constant)
+                / haplen_u[hidx].astype(np.float32)),
     )
-    for b, (ri, hi) in enumerate(pair_index):
-        rd, hp = reads[ri], haps[hi]
-        n, h = len(rd["bases"]), len(hp)
-        out.hap[b, :h] = hp
-        out.haplen[b] = h
-        out.rchar[b, 1: n + 1] = rd["bases"]
-        out.rslen[b] = n
-        p_mm, p_gapm, p_mx, p_my, p_zz, dm, dmm = trans[ri]
-        out.p_mm[b, : n + 1] = p_mm
-        out.p_gapm[b, : n + 1] = p_gapm
-        out.p_mx[b, : n + 1] = p_mx
-        out.p_my[b, : n + 1] = p_my
-        out.p_zz[b, : n + 1] = p_zz
-        out.distm_match[b, : n + 1] = dm
-        out.distm_mis[b, : n + 1] = dmm
-        out.y_init[b] = np.float32(CTX_F32.initial_constant) / np.float32(h)
-    return out
 
 
 from mgl_tpu.utils import shift_down as _shift_down  # shared
