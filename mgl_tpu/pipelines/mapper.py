@@ -662,44 +662,68 @@ def _default_impl_lazy() -> str:
     return _default_impl()
 
 
-# Device indices are int32 (x64 is off), so a flat reference gather tops
-# out at 2^31 bp.  Past _BLOCK_GATE the reference lives on device as
-# overlapping 2^_BLOCK_BITS-bp rows and a window start becomes a
-# (row, offset) int32 pair — genome-scale (3.1 Gbp) windows stay
-# device-resident with 32-bit indices.  The gate is monkeypatched small
-# in tests to exercise the blocked path against the flat one.
+# The device reference is word-packed: 8 bases per uint32 (4-bit codes,
+# little nibble = lower ref offset).  A window gather fetches ~26 aligned
+# int32 WORDS per lane instead of ~200 single bytes — measured 6.6-7.3x
+# faster than the byte gather (tools/profile_gather.py: 487 -> 67 ms for
+# 131072 windows vs a 512 Mbp reference), halves the reference's HBM
+# footprint, and keeps flat int32 WORD indices valid to 8.6 Gbp (so the
+# human genome rides the flat fast path).  Past _BLOCK_GATE the words
+# live as overlapping 2^_BLOCK_BITS-bp rows and a window start becomes a
+# (row, word-offset, nibble) int32 triple.  The gate is monkeypatched
+# small in tests to exercise the blocked path against the flat one.
 _BLOCK_BITS = 27
-_BLOCK_GATE = 2**31 - 65536
-_BLOCK_OVERLAP = 4096    # > any wlen: a window never leaves its row
+_BLOCK_GATE = 2**33
+_BLOCK_OVERLAP = 4096    # bp, > any wlen: a window never leaves its row
 
 
 _REF_PAD = 5   # outside code space 0..4: padding never matches any read
+_PAD_WORD = np.uint32(0x55555555)        # eight _REF_PAD nibbles
+
+
+def _pack_ref_words(code: np.ndarray) -> np.ndarray:
+    """(n,) uint8 codes -> (ceil(n/8),) uint32 words, nibble j of word w
+    = code[8w + j]; the ragged tail is _REF_PAD-filled.  Chunked so the
+    packing temp stays ~128 MB even at genome scale."""
+    n = len(code)
+    nw = -(-n // 8)
+    padded = np.full(nw * 8, _REF_PAD, np.uint8)
+    padded[:n] = code
+    out = np.empty(nw, np.uint32)
+    step = 1 << 24
+    for lo in range(0, nw, step):
+        blk = padded[lo * 8: (lo + step) * 8].reshape(-1, 8).astype(
+            np.uint32)
+        acc = blk[:, 0]
+        for j in range(1, 8):
+            acc |= blk[:, j] << np.uint32(4 * j)
+        out[lo: lo + len(acc)] = acc
+    return out
 
 
 def _ref_device(index: "ReferenceIndex"):
-    """Device-resident reference as 2-bit codes (+4 = N): (array, blocked).
-    Flat padded vector below _BLOCK_GATE; overlapping (n_rows,
-    block+overlap) matrix above.  Code space (the mapper's contractual
-    ACGTN alphabet) halves the read-transfer bytes vs ASCII — see
-    _pack_codes."""
+    """Device-resident word-packed reference: (array, blocked).  Flat
+    padded uint32 vector below _BLOCK_GATE; overlapping (n_rows,
+    words_per_row) matrix above."""
     import jax.numpy as jnp
 
     dev = getattr(index, "_ref_dev", None)
     if dev is not None:
         return dev, getattr(index, "_ref_blocked", False)
     n = len(index.ref)
-    code = encode(index.ref)
+    words = _pack_ref_words(encode(index.ref))
+    ov_w = _BLOCK_OVERLAP // 8 + 8
     if n <= _BLOCK_GATE:
         index._ref_dev = jnp.asarray(np.concatenate(
-            [code, np.full(_BLOCK_OVERLAP, _REF_PAD, np.uint8)]))
+            [words, np.full(ov_w, _PAD_WORD, np.uint32)]))
         index._ref_blocked = False
     else:
-        S = 1 << _BLOCK_BITS
-        n_rows = -(-n // S)
+        S_w = 1 << (_BLOCK_BITS - 3)               # words per row
+        n_rows = -(-len(words) // S_w)
         padded = np.concatenate(
-            [code, np.full(S + _BLOCK_OVERLAP, _REF_PAD, np.uint8)])
+            [words, np.full(S_w + ov_w, _PAD_WORD, np.uint32)])
         rows = np.lib.stride_tricks.as_strided(
-            padded, shape=(n_rows, S + _BLOCK_OVERLAP), strides=(S, 1))
+            padded, shape=(n_rows, S_w + ov_w), strides=(4 * S_w, 4))
         index._ref_dev = jnp.asarray(np.ascontiguousarray(rows))
         index._ref_blocked = True
     return index._ref_dev, index._ref_blocked
@@ -717,12 +741,16 @@ def _pack_codes(reads: np.ndarray) -> np.ndarray:
 
 
 def _split_starts(starts: np.ndarray, blocked: bool):
-    """int64 window starts -> int32 device index arrays (flat or pair)."""
+    """int64 bp window starts -> int32 device index arrays for the
+    word-packed reference: flat (word, nibble) pair or blocked
+    (row, word-offset, nibble) triple."""
     starts = np.asarray(starts, np.int64)
+    nib = (starts & 7).astype(np.int32)
     if not blocked:
-        return (starts.astype(np.int32),)
+        return ((starts >> 3).astype(np.int32), nib)
+    off = starts & ((1 << _BLOCK_BITS) - 1)
     return ((starts >> _BLOCK_BITS).astype(np.int32),
-            (starts & ((1 << _BLOCK_BITS) - 1)).astype(np.int32))
+            (off >> 3).astype(np.int32), nib)
 
 
 def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32,
@@ -739,24 +767,35 @@ def _windowed_scores_fn(wlen: int, qlen: int, band: int = 32,
     QR = _round_up(qlen + band, 8)
     interpret = env_interpret()
 
+    # window = nw aligned uint32 words (8 bases each) straddling
+    # [start, start + wlen); the +1 covers the worst-case nibble shift
+    nw = (wlen + 7) // 8 + 1
+
     @jax.jit
     def fn(ref_dev, starts, packed_u8, match, mismatch, gap_open, gap_ext):
+        iota_w = jnp.arange(nw, dtype=jnp.int32)[None, :]
         if blocked:
-            bid, off = starts
+            bid, w0, s = starts
             B = bid.shape[0]
-            win = ref_dev[bid[:, None],
-                          off[:, None]
-                          + jnp.arange(wlen, dtype=jnp.int32)[None, :]]
+            w = ref_dev[bid[:, None], w0[:, None] + iota_w]
         else:
-            (st,) = starts
-            B = st.shape[0]
-            win = ref_dev[st[:, None]
-                          + jnp.arange(wlen, dtype=st.dtype)[None, :]]
+            w0, s = starts
+            B = w0.shape[0]
+            w = ref_dev[w0[:, None] + iota_w]
+        # unpack nibbles (little nibble = lower offset), then realign
+        # each lane by its start's intra-word shift with 8 vectorized
+        # selects — per-row dynamic slicing would defeat vectorization
+        nib = (w[:, :, None] >> (jnp.uint32(4)
+                                 * jnp.arange(8, dtype=jnp.uint32)
+                                 )[None, None, :]) & jnp.uint32(0xF)
+        flat = nib.reshape(B, nw * 8).astype(jnp.int32)
+        win = flat[:, :wlen]
+        for k in range(1, 8):
+            win = jnp.where((s == k)[:, None], flat[:, k: k + wlen], win)
         # reads arrive as packed 4-bit codes (see _pack_codes)
         codes = jnp.stack([packed_u8 >> 4, packed_u8 & 0xF],
                           axis=-1).reshape(B, -1)[:, :qlen]
-        tchar = jnp.zeros((Rb, B), jnp.int32).at[:wlen].set(
-            win.T.astype(jnp.int32))
+        tchar = jnp.zeros((Rb, B), jnp.int32).at[:wlen].set(win.T)
         qpad = jnp.zeros((QR, B), jnp.int32).at[:qlen].set(
             codes.T.astype(jnp.int32))
         tl = jnp.full((1, B), wlen, jnp.int32)

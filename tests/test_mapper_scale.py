@@ -266,8 +266,8 @@ def test_positions_past_int32_boundary():
     the voting/verify arithmetic must widen to int64 throughout."""
     rng = np.random.default_rng(11)
     seg = rng.choice(BASES, size=20_000)
-    big_off = 2**31 + 12_345          # past the int32 ceiling
-    idx = _shifted_index(seg, big_off)
+    big_off = 2_600_000_123           # past int32 AND past 2.5 Gbp (the
+    idx = _shifted_index(seg, big_off)  # 3.1 Gbp genome's upper half)
 
     N, L = 48, 100
     starts = rng.integers(64, len(seg) - L - 64, size=N)

@@ -31,7 +31,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def simulate(rng, ref_len: int, n_reads: int, read_len: int,
              err: float = 0.01):
     alpha = np.frombuffer(b"ACGT", np.uint8)
-    ref = rng.choice(alpha, size=ref_len)
+    # uint8 index draw + table take: rng.choice materializes int64
+    # indices (8 B/bp — 25 GB at genome scale); this stays at 2 B/bp peak
+    ref = alpha[rng.integers(0, 4, size=ref_len, dtype=np.uint8)]
     true_pos = rng.integers(0, ref_len - read_len, size=n_reads)
     reads = ref[true_pos[:, None] + np.arange(read_len)[None, :]].copy()
     mut = rng.random(reads.shape) < err
@@ -249,6 +251,11 @@ def main():
     ap.add_argument("--big", action="store_true",
                     help="run only the 512 Mbp reference config "
                          "(the BASELINE config-4 genome-scale step)")
+    ap.add_argument("--big-mbp", type=float, default=512.0,
+                    help="reference size for --big in Mbp (3100 = the "
+                         "human-genome-scale north star; entry is named "
+                         "config4_<size>)")
+    ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--cigar", action="store_true",
                     help="run only the full-CIGAR mapping config")
     args = ap.parse_args()
@@ -271,8 +278,11 @@ def main():
     if args.big:
         import jax
 
-        c4, _, _ = config4(args.reads, int(512e6), seed=3)
-        rep = {"backend": jax.default_backend(), "config4_512mbp": c4}
+        c4, _, _ = config4(args.reads, int(args.big_mbp * 1e6), seed=3,
+                           passes=args.passes)
+        name = ("config4_3gbp" if args.big_mbp >= 3000
+                else f"config4_{int(args.big_mbp)}mbp")
+        rep = {"backend": jax.default_backend(), name: c4}
         out = pathlib.Path(__file__).resolve().parent.parent / \
             "tests/golden/scale_report.json"
         if out.exists():
@@ -280,7 +290,7 @@ def main():
             old.update(rep)
             rep = old
         out.write_text(json.dumps(rep, indent=1))
-        print(json.dumps({"config4_512mbp": c4}))
+        print(json.dumps({name: c4}))
         return
 
     if args.mesh_only:
