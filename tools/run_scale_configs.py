@@ -116,24 +116,31 @@ def config4(n_reads: int, ref_len: int, chunk: int = 131072,
 
 def config4_cigar(n_reads: int = 262_144, ref_len: int = 64_000_000,
                   chunk: int = 131072, read_len: int = 150,
-                  indel_frac: float = 0.02):
+                  indel_frac: float = 0.02, err: float = 0.01,
+                  max_indel: int = 2, seed: int = 4):
     """Full-CIGAR mapping at scale: every mapped read gets a real CIGAR
     (certified-diagonal tier for exact/SNP reads, banded traceback for
-    the rest); measures reads/s and tier split."""
+    the rest); measures reads/s and the tier split.  ``err``/``max_indel``
+    sweep the error model: higher error rates shrink the certified tier
+    (a gapped path beats the diagonal more often) and grow the traceback
+    share, bounding the certified-tier claim with data."""
     from mgl_tpu.pipelines.mapper import ReferenceIndex, map_reads_stream
     from mgl_tpu.utils.metrics import METRICS
 
-    rng = np.random.default_rng(4)
-    print(f"[cigar] simulating ref {ref_len/1e6:.0f} Mbp + {n_reads} reads",
+    rng = np.random.default_rng(seed)
+    print(f"[cigar] simulating ref {ref_len/1e6:.0f} Mbp + {n_reads} reads"
+          f" (err={err}, indel_frac={indel_frac}, max_indel={max_indel})",
           flush=True)
-    ref, reads, true_pos = simulate(rng, ref_len, n_reads, read_len)
-    # a slice of reads carries a short deletion so the traceback tier is
-    # exercised at scale, like real indel reads
+    ref, reads, true_pos = simulate(rng, ref_len, n_reads, read_len,
+                                    err=err)
+    # a slice of reads carries a deletion (1..max_indel bp) so the
+    # traceback tier is exercised at scale, like real indel reads
     n_ind = int(n_reads * indel_frac)
+    dlen = rng.integers(1, max_indel + 1, n_ind)
     for i in range(n_ind):
-        s = true_pos[i]
+        s, d = true_pos[i], int(dlen[i])
         reads[i] = np.concatenate([ref[s: s + 70],
-                                   ref[s + 72: s + read_len + 2]])
+                                   ref[s + 70 + d: s + read_len + d]])
     index = ReferenceIndex.build(ref, k=16)
     map_reads_stream(index, reads[:chunk], chunk=chunk,
                      with_cigar=True)              # warm compiles
@@ -148,8 +155,11 @@ def config4_cigar(n_reads: int = 262_144, ref_len: int = 64_000_000,
     assert (have_cigar[mapped]).all(), "mapped read without CIGAR"
     with_d = sum("D" in out["cigar"][i] or "I" in out["cigar"][i]
                  for i in range(n_ind) if mapped[i])
+    n_mapped = int(mapped.sum())
     return {
         "n_reads": int(n_reads),
+        "err": err,
+        "max_indel": int(max_indel),
         "map_cigar_s": round(t_map, 2),
         "reads_per_s": round(n_reads / t_map, 1),
         "mapped_frac": round(float(mapped.mean()), 4),
@@ -157,6 +167,7 @@ def config4_cigar(n_reads: int = 262_144, ref_len: int = 64_000_000,
         "indel_reads": int(n_ind),
         "indel_cigars_with_gap": int(with_d),
         "traceback_tier_reads": n_tb,
+        "traceback_tier_share": round(n_tb / max(n_mapped, 1), 4),
         "traceback_tier_s": round(tb_s, 2),
     }
 
@@ -258,13 +269,28 @@ def main():
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--cigar", action="store_true",
                     help="run only the full-CIGAR mapping config")
+    ap.add_argument("--cigar-mode", default="all",
+                    choices=["base", "1m", "hierr", "all"],
+                    help="which CIGAR configs: base (262k), 1m (full "
+                         "1M pass), hierr (5%% SNP + 1-8 bp indel "
+                         "sweep), all")
     args = ap.parse_args()
 
     if args.cigar:
         import jax
 
-        rep = {"backend": jax.default_backend(),
-               "config4_cigar": config4_cigar()}
+        rep = {"backend": jax.default_backend()}
+        if args.cigar_mode in ("base", "all"):
+            rep["config4_cigar"] = config4_cigar()
+        if args.cigar_mode in ("1m", "all"):
+            rep["config4_cigar_1m"] = config4_cigar(n_reads=1_048_576)
+        if args.cigar_mode in ("hierr", "all"):
+            # 5% SNPs + 10% of reads carrying 1-8 bp deletions: the
+            # regime where the certified-diagonal tier stops absorbing
+            # the load (reference CIGARs every pair at any error rate,
+            # sw.cpp:149-255 — so must we, at a measured rate)
+            rep["config4_cigar_hierr"] = config4_cigar(
+                err=0.05, indel_frac=0.10, max_indel=8, seed=8)
         out = pathlib.Path(__file__).resolve().parent.parent / \
             "tests/golden/scale_report.json"
         if out.exists():
@@ -272,7 +298,8 @@ def main():
             old.update(rep)
             rep = old
         out.write_text(json.dumps(rep, indent=1))
-        print(json.dumps({"config4_cigar": rep["config4_cigar"]}))
+        print(json.dumps({k: rep[k] for k in rep
+                          if k.startswith("config4_cigar")}))
         return
 
     if args.big:
