@@ -871,11 +871,21 @@ def pairhmm_pallas_shared(
 
 def shared_vmem_bytes(rdlen: int, stream: int, n_segs: int,
                       band: int = 32) -> int:
-    """Estimated per-tile VMEM working set of the shared kernel."""
+    """Estimated per-tile VMEM working set of the shared kernel.
+
+    Must mirror forward_scores_shared's BUCKETED scp: the launch rounds
+    the stream length up to a compile-shape bucket (up to 8192), so a
+    budget computed from the raw stream length under-estimates by up to
+    ~2x — a hap set whose raw estimate fit could OOM scoped VMEM at the
+    bucketed shape (observed with low-sharing sets: 16.09M vs the 16M
+    scoped limit)."""
+    from mgl_tpu.batch.bucketing import bucket_dims
+
     Rb = _round_up(max(rdlen, 1), band)
-    scp = _round_up(stream + band + 2, 8)
-    sr = _round_up(stream + band + 1, 8)
-    nsp = _round_up(max(n_segs, 1), 8)
+    scp = _round_up(bucket_dims(stream + band + 2,
+                                (256, 512, 1024, 2048, 4096, 8192)), 8)
+    sr = scp
+    nsp = _round_up(bucket_dims(max(n_segs, 1), (8, 16, 32, 64, 128)), 8)
     return 4 * (9 * Rb * LANES + sr * LANES + 4 * scp * LANES
                 + 6 * band * LANES + nsp * LANES + 8 * LANES)
 

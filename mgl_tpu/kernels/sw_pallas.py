@@ -460,10 +460,16 @@ def _sw_banded_kernel(
             sub = jnp.where(qd == tch, w_match, w_mismatch)
             diag_sc = h_sh_pp + sub
             if with_traceback:
-                is_diag = (diag_sc >= e_cur) & (diag_sc >= f_cur)
+                # value-identical restatement of the select chain
+                # (priority diag >= INS >= DEL, sw.cpp:60-71): the H value
+                # is a plain max either way; only the BITS need the
+                # compares — and is_diag vs BOTH e and f collapses to one
+                # compare against their max.  2 fewer vreg ops/step on
+                # the traceback path (issue-bound, DESIGN.md §5).
+                ef_max = jnp.maximum(e_cur, f_cur)
+                is_diag = diag_sc >= ef_max
                 ins_over_del = f_cur >= e_cur
-                h_cur = jnp.where(is_diag, diag_sc,
-                                  jnp.where(ins_over_del, f_cur, e_cur))
+                h_cur = jnp.maximum(diag_sc, ef_max)
             else:
                 h_cur = jnp.maximum(diag_sc, jnp.maximum(e_cur, f_cur))
 
