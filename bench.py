@@ -339,7 +339,8 @@ def bench_engine(n_reads=512, n_haps=12, rdlen=151, haplen=420):
     eng.compute_likelihoods(reads[:64], haps)     # warm compiles
     best = float("inf")
     stages = {}
-    for _ in range(3):
+    for _ in range(5):    # best-of-5: shared-pool congestion can double
+                          # a single trial's round-trip-bound stages
         METRICS.reset()
         t0 = time.time()
         out = eng.compute_likelihoods(reads, haps)
@@ -360,7 +361,7 @@ def bench_engine(n_reads=512, n_haps=12, rdlen=151, haplen=420):
     batches = [(reads, haps)] * n_stream
     list(eng.compute_likelihoods_stream(batches[:2]))   # warm
     best_s = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         outs = list(eng.compute_likelihoods_stream(batches))
         best_s = min(best_s, time.time() - t0)
