@@ -288,6 +288,36 @@ def test_positions_past_int32_boundary():
     assert (cid == 0).all() and (local == out["pos"][mapped]).all()
 
 
+def test_word_gather_all_shifts_and_edges():
+    """The word-packed window gather (8 bp/uint32 + device unpack +
+    nibble realign, mapper.py:_windowed_scores_fn) must be exact at
+    every intra-word shift 0..7 and at both reference edges (start 0 and
+    the last valid start) — compared against SW scores on host-sliced
+    byte windows."""
+    from mgl_tpu.core.params import SWParameters
+    from mgl_tpu.pipelines.mapper import (ReferenceIndex, sw_score_batch,
+                                          sw_score_windows)
+
+    rng = np.random.default_rng(23)
+    ref = rng.choice(BASES, size=50_011)          # odd length: ragged tail
+    idx = ReferenceIndex.build(ref, k=16)
+    L, wlen = 100, 148
+    last = len(ref) - wlen
+    starts = np.array(
+        list(range(8)) + list(range(last - 7, last + 1))
+        + [4096 + s for s in range(8)], np.int64)
+    reads = np.zeros((len(starts), L), np.uint8)
+    for i, s in enumerate(starts):
+        r = ref[s + 24: s + 24 + L].copy()
+        r[::17] = BASES[(np.searchsorted(BASES, r[::17]) + 1) % 4]
+        reads[i] = r
+    p = SWParameters(25, -50, 110, 6)
+    dev = sw_score_windows(idx, starts, reads, wlen, p)
+    win = ref[starts[:, None] + np.arange(wlen)[None, :]]
+    host = sw_score_batch(win, reads, p)
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_blocked_window_gather_matches_flat(monkeypatch):
     """The (row, offset) blocked device gather is bit-identical to the
     flat gather — exercised by shrinking the gate/block size so a small
