@@ -198,11 +198,14 @@ def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
 
     # low-sharing hap sets blow the single-call VMEM budget (the carry
     # scales with the distinct-suffix stream): chunk exactly as the
-    # engine does and launch all chunks per iteration
+    # engine does (bucketed read pad, chunk-local positions) and launch
+    # all chunks per iteration
+    from mgl_tpu.batch.bucketing import bucket_dims
     from mgl_tpu.ops.pairhmm import _shared_hap_chunks
 
+    chunks = _shared_hap_chunks(haps, bucket_dims(rdlen))
     stages = [_stage_shared_kernel(reads, haps[lo:hi])
-              for lo, hi in _shared_hap_chunks(haps, rdlen)]
+              for lo, hi in chunks]
     runs = [r for r, _ in stages]
     run = lambda: [r() for r in runs][-1]
     _sync(run())
@@ -218,7 +221,7 @@ def bench_pairhmm_shared(n_reads=16384, n_haps=12, rdlen=152, haplen=400,
     # shared prefix, matching the engine's production behavior)
     tot = sum(len(h) for h in haps)
     stream = 0.0
-    for (_, sh), (lo, hi) in zip(stages, _shared_hap_chunks(haps, rdlen)):
+    for (_, sh), (lo, hi) in zip(stages, chunks):
         sub = sum(len(h) for h in haps[lo:hi])
         stream += (1.0 - sh) * sub
     sharing = 1.0 - stream / tot

@@ -335,25 +335,53 @@ def forward_scores_xla(batch: PairHMMBatch) -> np.ndarray:
     )
 
 
+def _raw_even_prefixes(haps: list[np.ndarray]) -> np.ndarray:
+    """Even-rounded shared-prefix length of each hap with its
+    predecessor, BEFORE the monotonic reset rule (raw[j] = 0 when the
+    predecessor is shorter than 8 bases) — the input both
+    compute_haplotype_similarities and chunk-local position replays
+    derive from."""
+    n = len(haps)
+    raw = np.zeros(n, np.int64)
+    for j in range(1, n):
+        prev, cur = np.asarray(haps[j - 1]), np.asarray(haps[j])
+        if len(prev) < 8:
+            continue
+        common = min(len(prev), len(cur))
+        neq = np.nonzero(prev[:common] != cur[:common])[0]
+        pos = int(neq[0]) if neq.size else common
+        raw[j] = pos - pos % 2
+    return raw
+
+
 def _shared_hap_chunks(haps: list[np.ndarray], rdlen: int,
                        band: int = 32,
                        budget: float = 13e6) -> list[tuple[int, int]]:
     """Split the hap list into contiguous chunks whose shared-kernel
     working set (dominated by the stream-indexed carry array) fits VMEM.
-    Chunk starts reset the prefix-share position to 0."""
+
+    Budgets with CHUNK-LOCAL share positions (the positions
+    forward_scores_shared will recompute for each chunk): the reset rule
+    is relative to the previous hap's position, so full-list positions
+    can UNDER-estimate a chunk's stream — a hap that kept its prefix in
+    the full list can reset to 0 chunk-locally, lengthening the real
+    stream past a raw-estimate bucket boundary and blowing scoped VMEM."""
     from mgl_tpu.kernels.pairhmm_pallas import shared_vmem_bytes
 
-    positions, _, _ = compute_haplotype_similarities(haps)
+    raw = _raw_even_prefixes(haps)
     chunks: list[tuple[int, int]] = []
-    lo, stream = 0, 0
+    lo, stream, prev_pos = 0, 0, 0
     for j, h in enumerate(haps):
-        seg = len(h) - (int(positions[j]) if j > lo else 0)
+        pos_l = 0 if j == lo else (int(raw[j])
+                                   if raw[j] >= prev_pos else 0)
+        seg = len(h) - pos_l
         if (j > lo and shared_vmem_bytes(rdlen, stream + seg, j - lo + 1,
                                          band) > budget):
             chunks.append((lo, j))
-            lo, stream = j, len(h)
+            lo, stream, prev_pos = j, len(h), 0
         else:
             stream += seg
+            prev_pos = pos_l
     chunks.append((lo, len(haps)))
     return chunks
 

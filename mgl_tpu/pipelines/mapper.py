@@ -684,13 +684,14 @@ _PAD_WORD = np.uint32(0x55555555)        # eight _REF_PAD nibbles
 def _pack_ref_words(code: np.ndarray) -> np.ndarray:
     """(n,) uint8 codes -> (ceil(n/8),) uint32 words, nibble j of word w
     = code[8w + j]; the ragged tail is _REF_PAD-filled.  Chunked so the
-    packing temp stays ~128 MB even at genome scale."""
+    widened uint32 packing temp stays ~128 MB (4M words x 8 lanes x 4 B)
+    even at genome scale."""
     n = len(code)
     nw = -(-n // 8)
     padded = np.full(nw * 8, _REF_PAD, np.uint8)
     padded[:n] = code
     out = np.empty(nw, np.uint32)
-    step = 1 << 24
+    step = 1 << 22
     for lo in range(0, nw, step):
         blk = padded[lo * 8: (lo + step) * 8].reshape(-1, 8).astype(
             np.uint32)

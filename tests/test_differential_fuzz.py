@@ -31,18 +31,30 @@ _REFERENCE = pathlib.Path("/root/reference/src/main/native")
 def _ensure_oracle() -> str | None:
     """Build the oracle if absent.  Returns a skip reason, or None when
     the binary is available; raises if the reference is present but the
-    build fails (loud by design)."""
+    build fails (loud by design).  An exclusive flock serializes
+    concurrent pytest sessions / xdist workers so two builds never
+    clobber the same output binary."""
     if ORACLE.exists():
         return None
     if not _REFERENCE.exists():
         return "reference checkout absent; cannot build differential oracle"
-    r = subprocess.run(["bash", str(ORACLE.parent / "build.sh")],
-                       capture_output=True, text=True, timeout=900)
-    if r.returncode != 0 or not ORACLE.exists():
-        raise RuntimeError(
-            "differential-oracle build failed (tools/oracle/build.sh) — "
-            "refusing to skip the fuzz-vs-reference suite:\n"
-            f"{r.stdout}\n{r.stderr}")
+    import fcntl
+
+    lock = ORACLE.parent / ".build.lock"
+    with open(lock, "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            if ORACLE.exists():      # another session built it meanwhile
+                return None
+            r = subprocess.run(["bash", str(ORACLE.parent / "build.sh")],
+                               capture_output=True, text=True, timeout=900)
+            if r.returncode != 0 or not ORACLE.exists():
+                raise RuntimeError(
+                    "differential-oracle build failed "
+                    "(tools/oracle/build.sh) — refusing to skip the "
+                    f"fuzz-vs-reference suite:\n{r.stdout}\n{r.stderr}")
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
     return None
 
 

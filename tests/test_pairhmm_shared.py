@@ -118,3 +118,48 @@ def test_engine_uses_shared_kernel_consistently():
     want = compute_likelihoods(reads, haps, impl="xla")
     assert got.shape == want.shape
     assert np.max(np.abs(got - want)) < 1e-5
+
+
+def test_shared_hap_chunks_budget_is_chunk_local():
+    """_shared_hap_chunks must budget with CHUNK-LOCAL share positions:
+    the reset rule is relative to the predecessor's position, so a hap
+    that kept its prefix in the full list can reset to 0 inside a chunk,
+    lengthening the real stream.  Every produced chunk, re-evaluated
+    exactly as forward_scores_shared will (compute_haplotype_similarities
+    on the chunk slice), must fit the VMEM budget."""
+    from mgl_tpu.kernels.pairhmm_pallas import shared_vmem_bytes
+    from mgl_tpu.ops.pairhmm import (_raw_even_prefixes, _shared_hap_chunks,
+                                     compute_haplotype_similarities)
+
+    rng = np.random.default_rng(31)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    for trial in range(40):
+        n_haps = int(rng.integers(4, 24))
+        hlen = int(rng.integers(120, 900))
+        base = rng.choice(ACGT, hlen)
+        haps = []
+        for _ in range(n_haps):
+            h = base.copy()
+            # mutations at unsorted random positions: consecutive-pair
+            # prefixes jump up and down, triggering the reset rule both
+            # in the full list and (differently) inside chunks
+            for p in rng.integers(0, hlen, int(rng.integers(1, 5))):
+                h[p] = ACGT[(int(np.searchsorted(ACGT, h[p])) + 1) % 4]
+            haps.append(h)
+        # the raw-prefix replay reproduces the full-list positions
+        raw = _raw_even_prefixes(haps)
+        pos_replay = np.zeros(n_haps, np.int64)
+        for j in range(1, n_haps):
+            pos_replay[j] = (raw[j]
+                             if raw[j] >= pos_replay[j - 1] else 0)
+        pos_full, _, _ = compute_haplotype_similarities(haps)
+        assert np.array_equal(pos_replay, pos_full), trial
+
+        rdlen = int(rng.integers(60, 200))
+        budget = 13e6
+        for lo, hi in _shared_hap_chunks(haps, rdlen, budget=budget):
+            pos_c, _, _ = compute_haplotype_similarities(haps[lo:hi])
+            stream = sum(len(h) - int(p)
+                         for h, p in zip(haps[lo:hi], pos_c))
+            assert shared_vmem_bytes(rdlen, stream, hi - lo) <= budget, (
+                trial, lo, hi, stream)

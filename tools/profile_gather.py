@@ -1,11 +1,16 @@
 """Microbenchmark: the mapper's device window gather vs reference size.
 
 The 512 Mbp scale run showed map.dispatch blowing up 4x vs 64 Mbp
-(scale_report.json stage_s) with the SAME read count and the SAME flat
-gather code path (512 Mbp < _BLOCK_GATE).  This isolates where that time
-goes: (a) the XLA row gather from a flat ref, (b) the blocked (row,
-offset) 2-level gather, (c) the gather with batch starts pre-sorted
-(locality), each with and without the downstream banded SW kernel.
+(scale_report.json stage_s) with the SAME read count.  This tool holds
+the evidence for the round-5 fix (DESIGN.md §10a): it times
+  (a) the OLD flat byte gather (one ref byte per window column — what
+      rounds 1-4 shipped; built locally here since production no longer
+      stores bytes on device),
+  (b) the old blocked (row, offset) byte gather,
+  (c) the sorted-starts variant of (a) (locality probe),
+  (d) the word-packed gather (8 bp per uint32, ~26 aligned words per
+      window, device unpack + 8-way nibble-shift select — production),
+  (e) the full production dispatch+SW path (_windowed_scores_fn).
 
 Usage: python tools/profile_gather.py [--mbp 64 512] [--lanes 131072]
 """
@@ -33,16 +38,14 @@ def run(ref_mbp: float, lanes: int, wlen: int = 198, qlen: int = 150,
     n = int(ref_mbp * 1e6)
     rng = np.random.default_rng(0)
     ref = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
-    idx = ReferenceIndex.__new__(ReferenceIndex)
-    idx.ref = ref
-    idx._ref_dev = None
-    idx._ref_blocked = False
     starts = rng.integers(0, n - wlen, lanes).astype(np.int64)
     reads = rng.choice(np.frombuffer(b"ACGT", np.uint8),
                        size=(lanes, qlen))
+    code = M.encode(ref)
 
-    ref_dev, blocked = M._ref_device(idx)
-    packed = M._pack_codes(reads)
+    # (a)/(c) old flat byte layout, built locally
+    bytes_dev = jnp.asarray(np.concatenate(
+        [code, np.full(M._BLOCK_OVERLAP, M._REF_PAD, np.uint8)]))
 
     @jax.jit
     def gather_flat(rd, st):
@@ -69,15 +72,16 @@ def run(ref_mbp: float, lanes: int, wlen: int = 198, qlen: int = 150,
             best = min(best, (time.time() - t0) / iters)
         return best * 1e3
 
-    out["gather_flat_ms"] = timeit(gather_flat, ref_dev, jnp.asarray(st32))
+    out["gather_flat_ms"] = timeit(gather_flat, bytes_dev,
+                                   jnp.asarray(st32))
     out["gather_flat_sorted_ms"] = timeit(
-        gather_flat, ref_dev, jnp.asarray(np.sort(st32)))
+        gather_flat, bytes_dev, jnp.asarray(np.sort(st32)))
 
-    # blocked layout regardless of size (what >2^31 bp pays)
+    # (b) old blocked byte layout
     S = 1 << M._BLOCK_BITS
     n_rows = -(-n // S)
     padded = np.concatenate(
-        [M.encode(ref), np.full(S + M._BLOCK_OVERLAP, M._REF_PAD, np.uint8)])
+        [code, np.full(S + M._BLOCK_OVERLAP, M._REF_PAD, np.uint8)])
     rows = np.lib.stride_tricks.as_strided(
         padded, shape=(n_rows, S + M._BLOCK_OVERLAP), strides=(S, 1))
     rd2 = jnp.asarray(np.ascontiguousarray(rows))
@@ -86,42 +90,38 @@ def run(ref_mbp: float, lanes: int, wlen: int = 198, qlen: int = 150,
     out["gather_blocked_ms"] = timeit(gather_blocked, rd2, jnp.asarray(bid),
                                       jnp.asarray(off))
 
-    # word-packed gather candidate: 8 bp per uint32 (4-bit codes), ~26
-    # aligned words per window instead of 198 single bytes; unpack +
-    # per-row nibble shift on device (8 vectorized selects)
-    code = M.encode(ref)
-    nwords_ref = -(-n // 8)
-    padded_c = np.zeros(nwords_ref * 8 + 64, np.uint8)
-    padded_c[:n] = code
-    padded_c[n:] = M._REF_PAD
-    words = padded_c[: (nwords_ref + 8) * 8].reshape(-1, 8).astype(np.uint32)
-    words = (words * (np.uint32(1) << (4 * np.arange(8, dtype=np.uint32)))
-             ).sum(axis=1, dtype=np.uint32)
-    words_dev = jnp.asarray(words.view(np.int32))
+    # (d) production word-packed layout, gather + unpack + realign only
+    idx = ReferenceIndex.__new__(ReferenceIndex)
+    idx.ref = ref
+    idx._ref_dev = None
+    idx._ref_blocked = False
+    words_dev, blocked = M._ref_device(idx)
+    assert not blocked
     nw = (wlen + 7) // 8 + 1
 
     @jax.jit
-    def gather_words(wd, st):
-        w0 = st >> 3
-        s = st & 7
+    def gather_words(wd, w0, s):
         w = wd[w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :]]
-        nib = (w[:, :, None] >> (4 * jnp.arange(8, dtype=jnp.int32)
-                                 )[None, None, :]) & 0xF
-        flat = nib.reshape(st.shape[0], nw * 8)
-        win = jnp.zeros((st.shape[0], wlen), jnp.int32)
-        for k in range(8):
+        nib = (w[:, :, None] >> (jnp.uint32(4)
+                                 * jnp.arange(8, dtype=jnp.uint32)
+                                 )[None, None, :]) & jnp.uint32(0xF)
+        flat = nib.reshape(w0.shape[0], nw * 8).astype(jnp.int32)
+        win = flat[:, :wlen]
+        for k in range(1, 8):
             win = jnp.where((s == k)[:, None], flat[:, k: k + wlen], win)
         return win.sum(dtype=jnp.int32)
 
+    w0, s_nib = M._split_starts(starts, False)
     out["gather_words_ms"] = timeit(gather_words, words_dev,
-                                    jnp.asarray(st32))
+                                    jnp.asarray(w0), jnp.asarray(s_nib))
 
-    # full dispatch+SW path (what map.dispatch measures per chunk)
+    # (e) full production dispatch + SW (what map.dispatch measures)
+    packed = M._pack_codes(reads)
     fn = M._windowed_scores_fn(wlen, qlen, blocked=False)
-    args = (ref_dev, (jnp.asarray(st32),), jnp.asarray(packed),
-            25, -50, 110, 6)
+    args = (words_dev, (jnp.asarray(w0), jnp.asarray(s_nib)),
+            jnp.asarray(packed), 25, -50, 110, 6)
     sc, _ = fn(*args)
-    np.asarray(sc[:8])           # score row only: (Bp,)
+    np.asarray(sc[:8])
     best = float("inf")
     for _ in range(3):
         t0 = time.time()

@@ -1,14 +1,12 @@
 """Attribution experiment for the PairHMM f32 issue model (DESIGN §5).
 
-Measures the banded kernel at the bench shape three ways:
+Measures the banded kernel at the bench shape two ways:
   prod      — the production kernel;
   no-roll   — pltpu.roll patched to identity at trace time (numerically
-              wrong on purpose; same op count minus the 3 lane rolls);
-  no-carry  — carry writes/reads additionally disabled (the inter-band
-              I/O share).
-The deltas attribute the measured gap between the kernel's ~53 GCUPS
-and the ~74 GCUPS vector-issue ideal to specific op classes — evidence
-for (or against) "the residual is irreducible roll latency".
+              wrong on purpose; same op count minus the 3 lane rolls).
+The delta attributes the lane rolls' share of vector issue (measured
+12%: 100 -> 114 GCUPS); the remaining spread to the VPU ceiling is the
+carry I/O, hap feed and sampling ops DESIGN.md §5 enumerates.
 
 Usage: python tools/profile_pairhmm_model.py
 """

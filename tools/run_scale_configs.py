@@ -138,7 +138,12 @@ def config4_cigar(n_reads: int = 262_144, ref_len: int = 64_000_000,
     n_ind = int(n_reads * indel_frac)
     dlen = rng.integers(1, max_indel + 1, n_ind)
     for i in range(n_ind):
-        s, d = true_pos[i], int(dlen[i])
+        d = int(dlen[i])
+        # clamp so the deleted read's reference footprint (read_len + d)
+        # stays inside the reference — an end-adjacent true_pos would
+        # otherwise yield a short slice and crash the row assignment
+        s = min(int(true_pos[i]), ref_len - read_len - d)
+        true_pos[i] = s
         reads[i] = np.concatenate([ref[s: s + 70],
                                    ref[s + 70 + d: s + read_len + d]])
     index = ReferenceIndex.build(ref, k=16)
