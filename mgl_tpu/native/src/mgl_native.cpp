@@ -485,6 +485,19 @@ void map_seed_vote(
         std::vector<int64_t> fw, rc;
         fw.reserve((size_t)S * max_hits);
         rc.reserve((size_t)S * max_hits);
+        // Per-read seed slots: the lookup chain (ptable -> sorted_kmers
+        // -> positions/canon_fwd) is one dependent cache miss after
+        // another into multi-GB tables at genome scale; staging all S
+        // seeds per read with prefetches between stages keeps ~S
+        // independent misses in flight instead of serializing them.
+        // Outputs are byte-identical (same hits, same s/j order).
+        struct Slot {
+            uint32_t look;
+            int64_t lo, hi;
+            int32_t off;
+            uint8_t valid, b_read;
+        };
+        std::vector<Slot> sl((size_t)S);
         for (;;) {
             const int32_t b0 = next.fetch_add(BLOCK);
             if (b0 >= n_reads) return;
@@ -492,6 +505,7 @@ void map_seed_vote(
             for (int32_t r = b0; r < b1; r++) {
                 const uint8_t* rd = reads + (int64_t)r * read_len;
                 fw.clear(); rc.clear();
+                // stage A: decode k-mers, prefetch jump-table entries
                 for (int32_t s = 0; s < S; s++) {
                     const int32_t off = s * stride;
                     uint32_t fv = 0;
@@ -501,18 +515,36 @@ void map_seed_vote(
                         if (c >= 4) { valid = false; break; }
                         fv = (fv << 2) | c;
                     }
+                    sl[s].valid = valid;
                     if (!valid) continue;
                     const uint32_t rv = rc_kmer32(fv, k);
                     const uint32_t look = fv < rv ? fv : rv;
-                    const bool b_read = fv <= rv;
-                    // exact [lo, hi) range of `look` in the sorted table
-                    int64_t lo, hi;
+                    sl[s].look = look;
+                    sl[s].b_read = fv <= rv;
+                    sl[s].off = off;
+                    if (ptable)
+                        __builtin_prefetch(ptable + (look >> pshift));
+                }
+                // stage B: bucket ranges, prefetch the key scan window
+                for (int32_t s = 0; s < S; s++) {
+                    if (!sl[s].valid) continue;
                     if (ptable) {
-                        const uint32_t p = look >> pshift;
-                        lo = ptable[p]; hi = ptable[p + 1];
+                        const uint32_t p = sl[s].look >> pshift;
+                        sl[s].lo = ptable[p]; sl[s].hi = ptable[p + 1];
                     } else {
-                        lo = 0; hi = M;
+                        sl[s].lo = 0; sl[s].hi = M;
                     }
+                    if (sl[s].hi > sl[s].lo) {
+                        __builtin_prefetch(sorted_kmers + sl[s].lo);
+                        __builtin_prefetch(sorted_kmers + sl[s].lo + 16);
+                    }
+                }
+                // stage C: narrow to the exact [lo, hi) run, prefetch
+                // the payload rows it will gather
+                for (int32_t s = 0; s < S; s++) {
+                    if (!sl[s].valid) continue;
+                    int64_t lo = sl[s].lo, hi = sl[s].hi;
+                    const uint32_t look = sl[s].look;
                     if (hi - lo > 128) {
                         const uint32_t* a = sorted_kmers;
                         auto* l = std::lower_bound(a + lo, a + hi, look);
@@ -525,9 +557,21 @@ void map_seed_vote(
                         hi = e;
                     }
                     const int64_t cnt = hi - lo;
-                    if (cnt == 0 || cnt > max_hits) continue;
+                    if (cnt == 0 || cnt > max_hits) {
+                        sl[s].valid = 0;
+                        continue;
+                    }
+                    sl[s].lo = lo; sl[s].hi = hi;
+                    __builtin_prefetch(positions + lo);
+                    __builtin_prefetch(canon_fwd + lo);
+                }
+                // stage D: gather hits (original order preserved)
+                for (int32_t s = 0; s < S; s++) {
+                    if (!sl[s].valid) continue;
+                    const int32_t off = sl[s].off;
+                    const bool b_read = sl[s].b_read != 0;
                     const int64_t roff = read_len - k - off;
-                    for (int64_t j = lo; j < hi; j++) {
+                    for (int64_t j = sl[s].lo; j < sl[s].hi; j++) {
                         const int64_t hp = (int64_t)positions[j];
                         if ((canon_fwd[j] != 0) != b_read)   // reverse hit
                             rc.push_back(hp - roff);
